@@ -1,0 +1,100 @@
+"""FlowMatch Euler discrete schedule (FLUX flavor) with dynamic time shifting.
+
+Reference semantics (all verified against RepText/pipeline_flux_controlnet.py):
+- sigmas = linspace(1.0, 1/N, N), then exponential mu-shift, with a trailing 0
+  (":947-967" + diffusers FlowMatchEulerDiscreteScheduler.set_timesteps).
+- dynamic shift: mu = calculate_shift(image_seq_len, 256->0.5, 4096->1.16)
+  (":78-88").
+- step: x_{i+1} = x_i + (sigma_{i+1} - sigma_i) * v  (Euler over the rectified
+  flow ODE; diffusers scheduler.step invoked at ":1109").
+- models receive timestep = t/1000 and re-scale x1000 internally (":1048",
+  RepText/controlnet_flux.py:282); here the schedule stores ``timesteps`` in the
+  0..1000 range and callers divide before feeding models.
+
+Everything is a pure function of static config so the whole schedule can be
+baked into a single jitted sampling graph as constant arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def calculate_shift(
+    image_seq_len: int,
+    base_seq_len: int = 256,
+    max_seq_len: int = 4096,
+    base_shift: float = 0.5,
+    max_shift: float = 1.16,
+) -> float:
+    """Linear interpolation of the log-shift mu in image sequence length."""
+    m = (max_shift - base_shift) / (max_seq_len - base_seq_len)
+    b = base_shift - m * base_seq_len
+    return image_seq_len * m + b
+
+
+def time_shift(mu: float, sigma: float, t: np.ndarray) -> np.ndarray:
+    """Exponential time shift: t -> e^mu / (e^mu + (1/t - 1)^sigma)."""
+    return math.exp(mu) / (math.exp(mu) + (1 / t - 1) ** sigma)
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowMatchSchedule:
+    """Precomputed schedule arrays (host numpy; converted to jnp at trace time).
+
+    sigmas has length N+1 (trailing 0.0); timesteps has length N and equals
+    sigmas[:-1] * 1000.
+    """
+
+    sigmas: np.ndarray
+    timesteps: np.ndarray
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.timesteps)
+
+    def step(self, latents: jax.Array, velocity: jax.Array, i) -> jax.Array:
+        """One Euler step; ``i`` may be a traced int32 index (for lax.scan)."""
+        sig = jnp.asarray(self.sigmas, dtype=jnp.float32)
+        dt = sig[i + 1] - sig[i]
+        # diffusers upcasts latents to float32 inside step and keeps them there
+        return latents.astype(jnp.float32) + dt * velocity.astype(jnp.float32)
+
+    def scale_noise(self, sample: jax.Array, noise: jax.Array, i: int) -> jax.Array:
+        """Forward process at step i: sigma*noise + (1-sigma)*sample."""
+        sigma = float(self.sigmas[i])
+        return sigma * noise + (1.0 - sigma) * sample
+
+
+def build_schedule(
+    num_steps: int,
+    image_seq_len: int,
+    base_image_seq_len: int = 256,
+    max_image_seq_len: int = 4096,
+    base_shift: float = 0.5,
+    max_shift: float = 1.16,
+    use_dynamic_shifting: bool = True,
+    shift: float = 3.0,
+) -> FlowMatchSchedule:
+    """Build the FLUX FlowMatch Euler schedule.
+
+    With dynamic shifting (FLUX.1-dev default), sigmas are exponentially shifted
+    by mu from :func:`calculate_shift`; otherwise the static ``shift`` factor is
+    applied as sigma' = shift*sigma / (1 + (shift-1)*sigma).
+    """
+    sigmas = np.linspace(1.0, 1.0 / num_steps, num_steps, dtype=np.float64)
+    if use_dynamic_shifting:
+        mu = calculate_shift(
+            image_seq_len, base_image_seq_len, max_image_seq_len, base_shift, max_shift
+        )
+        sigmas = np.array([time_shift(mu, 1.0, s) for s in sigmas])
+    else:
+        sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
+    timesteps = (sigmas * 1000.0).astype(np.float32)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    return FlowMatchSchedule(sigmas=sigmas, timesteps=timesteps)
