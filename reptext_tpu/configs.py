@@ -51,8 +51,8 @@ class FluxConfig:
             num_single_layers=4,
             attention_head_dim=32,
             num_attention_heads=4,
-            joint_attention_dim=64,
-            pooled_projection_dim=32,
+            joint_attention_dim=32,   # == T5Config.tiny().d_model
+            pooled_projection_dim=32,  # == CLIPConfig.tiny().hidden_size
             axes_dims_rope=(8, 12, 12),
             time_embed_dim=32,
         )
@@ -105,7 +105,7 @@ class ControlNetConfig:
             num_single_layers=2,
             attention_head_dim=32,
             num_attention_heads=4,
-            joint_attention_dim=64,
+            joint_attention_dim=32,
             pooled_projection_dim=32,
             axes_dims_rope=(8, 12, 12),
             time_embed_dim=32,

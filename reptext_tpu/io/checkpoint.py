@@ -1,0 +1,76 @@
+"""Orbax checkpoint save/load for pipeline param trees.
+
+The reference checkpoints only via HF hub safetensors (SURVEY.md §5
+"Checkpoint/resume"); here converted weights are cached as orbax checkpoints
+for fast TPU-direct reload, and full pipeline param sets (flux / controlnet /
+vae / clip / t5) are stored under one directory.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+COMPONENTS = ("flux", "controlnet", "inpaint_controlnet", "vae", "clip", "t5")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_pipeline_params(params: Dict[str, Any], directory: str) -> None:
+    """Save each component param tree under directory/<component>."""
+    ckptr = _checkpointer()
+    os.makedirs(directory, exist_ok=True)
+    for name, tree in params.items():
+        ckptr.save(os.path.join(os.path.abspath(directory), name), tree)
+
+
+def load_pipeline_params(
+    directory: str, components: Optional[tuple] = None
+) -> Dict[str, Any]:
+    """Load every component checkpoint found under ``directory``."""
+    ckptr = _checkpointer()
+    out: Dict[str, Any] = {}
+    for name in components or COMPONENTS:
+        path = os.path.join(os.path.abspath(directory), name)
+        if os.path.isdir(path):
+            out[name] = ckptr.restore(path)
+    if not out:
+        raise FileNotFoundError(f"no component checkpoints under {directory}")
+    return out
+
+
+def convert_and_cache(
+    hf_dirs: Dict[str, str], configs: Dict[str, Any], cache_dir: str
+) -> Dict[str, Any]:
+    """Convert HF safetensors checkpoints and cache as orbax.
+
+    hf_dirs maps component name -> safetensors file/dir; configs maps
+    component name -> this package's config dataclass.
+    """
+    from reptext_tpu.io.convert import (
+        convert_clip,
+        convert_controlnet,
+        convert_flux_transformer,
+        convert_t5,
+        convert_vae,
+        load_safetensors_state,
+    )
+
+    converters = {
+        "flux": convert_flux_transformer,
+        "controlnet": convert_controlnet,
+        "inpaint_controlnet": convert_controlnet,
+        "vae": convert_vae,
+        "clip": convert_clip,
+        "t5": convert_t5,
+    }
+    params = {}
+    for name, path in hf_dirs.items():
+        state = load_safetensors_state(path)
+        params[name] = converters[name](state, configs[name])
+    save_pipeline_params(params, cache_dir)
+    return params

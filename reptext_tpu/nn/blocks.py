@@ -1,0 +1,176 @@
+"""FLUX MMDiT transformer blocks (double-stream joint + single-stream).
+
+Semantics follow the FLUX architecture the reference composes from diffusers
+(`FluxTransformerBlock`, `FluxSingleTransformerBlock`, imported at
+RepText/controlnet_flux.py:29):
+
+- Double block: AdaLN-Zero per stream; joint attention where the text stream
+  contributes additional K/V/Q projections, sequences concatenated [text; image]
+  with 3D RoPE over the combined ids; gated residuals; per-stream gelu-tanh FF.
+- Single block: one AdaLN; parallel attention + MLP branches concatenated and
+  projected out jointly; gated residual.
+
+Per-head RMS q/k-norm (eps 1e-6) in both. All matmuls run in the module compute
+dtype (bf16 on TPU); softmax and norms accumulate fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from reptext_tpu.nn.layers import (
+    AdaLayerNormZero,
+    AdaLayerNormZeroSingle,
+    FeedForward,
+    RMSNorm,
+    gelu_tanh,
+    layer_norm_no_affine,
+)
+from reptext_tpu.ops.attention import attention
+from reptext_tpu.ops.rope import apply_rope
+
+Dtype = Any
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, S, H*D] -> [B, H, S, D]."""
+    b, s, hd = x.shape
+    return x.reshape(b, s, num_heads, hd // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, S, D] -> [B, S, H*D]."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class JointTransformerBlock(nn.Module):
+    """Double-stream MMDiT block over (image tokens, text tokens)."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    mlp_ratio: float = 4.0
+    attention_backend: Optional[str] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,           # [B, S_img, dim]
+        encoder_hidden_states: jax.Array,   # [B, S_txt, dim]
+        temb: jax.Array,                    # [B, dim]
+        rope_cos: jax.Array,                # [S_txt+S_img, head_dim]
+        rope_sin: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array]:
+        dense = lambda feat, name: nn.Dense(  # noqa: E731
+            feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        inner = self.num_heads * self.head_dim
+        s_txt = encoder_hidden_states.shape[1]
+
+        norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNormZero(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1"
+        )(hidden_states, temb)
+        norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = AdaLayerNormZero(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1_context"
+        )(encoder_hidden_states, temb)
+
+        # Image-stream projections
+        q_i = _split_heads(dense(inner, "to_q")(norm_img), self.num_heads)
+        k_i = _split_heads(dense(inner, "to_k")(norm_img), self.num_heads)
+        v_i = _split_heads(dense(inner, "to_v")(norm_img), self.num_heads)
+        # Text-stream (added) projections
+        q_t = _split_heads(dense(inner, "add_q_proj")(norm_txt), self.num_heads)
+        k_t = _split_heads(dense(inner, "add_k_proj")(norm_txt), self.num_heads)
+        v_t = _split_heads(dense(inner, "add_v_proj")(norm_txt), self.num_heads)
+
+        rms = lambda name: RMSNorm(self.head_dim, param_dtype=self.param_dtype, name=name)  # noqa: E731
+        q_i, k_i = rms("norm_q")(q_i), rms("norm_k")(k_i)
+        q_t, k_t = rms("norm_added_q")(q_t), rms("norm_added_k")(k_t)
+
+        # Joint sequence: [text; image]
+        q = jnp.concatenate([q_t, q_i], axis=2)
+        k = jnp.concatenate([k_t, k_i], axis=2)
+        v = jnp.concatenate([v_t, v_i], axis=2)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+
+        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend))
+        txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
+
+        # Image stream: gated attention + FF
+        hidden_states = hidden_states + gate_msa[:, None, :] * dense(self.dim, "to_out")(img_attn)
+        norm2 = layer_norm_no_affine(hidden_states)
+        norm2 = norm2 * (1.0 + scale_mlp[:, None, :]) + shift_mlp[:, None, :]
+        ff_out = FeedForward(
+            self.dim, self.mlp_ratio, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+        )(norm2.astype(hidden_states.dtype))
+        hidden_states = hidden_states + gate_mlp[:, None, :] * ff_out
+
+        # Text stream
+        encoder_hidden_states = (
+            encoder_hidden_states
+            + c_gate_msa[:, None, :] * dense(self.dim, "to_add_out")(txt_attn)
+        )
+        norm2_c = layer_norm_no_affine(encoder_hidden_states)
+        norm2_c = norm2_c * (1.0 + c_scale_mlp[:, None, :]) + c_shift_mlp[:, None, :]
+        ff_c_out = FeedForward(
+            self.dim, self.mlp_ratio, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="ff_context",
+        )(norm2_c.astype(encoder_hidden_states.dtype))
+        encoder_hidden_states = encoder_hidden_states + c_gate_mlp[:, None, :] * ff_c_out
+
+        return encoder_hidden_states, hidden_states
+
+
+class SingleTransformerBlock(nn.Module):
+    """Single-stream block over the concatenated [text; image] sequence."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    mlp_ratio: float = 4.0
+    attention_backend: Optional[str] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,  # [B, S, dim]
+        temb: jax.Array,           # [B, dim]
+        rope_cos: jax.Array,       # [S, head_dim]
+        rope_sin: jax.Array,
+    ) -> jax.Array:
+        dense = lambda feat, name: nn.Dense(  # noqa: E731
+            feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        inner = self.num_heads * self.head_dim
+        mlp_dim = int(self.dim * self.mlp_ratio)
+
+        residual = hidden_states
+        normed, gate = AdaLayerNormZeroSingle(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"
+        )(hidden_states, temb)
+
+        mlp = gelu_tanh(dense(mlp_dim, "proj_mlp")(normed))
+
+        q = _split_heads(dense(inner, "to_q")(normed), self.num_heads)
+        k = _split_heads(dense(inner, "to_k")(normed), self.num_heads)
+        v = _split_heads(dense(inner, "to_v")(normed), self.num_heads)
+        q = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_q")(q)
+        k = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_k")(k)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+
+        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend))
+
+        joint = jnp.concatenate([attn, mlp], axis=-1)
+        out = dense(self.dim, "proj_out")(joint)
+        return residual + gate[:, None, :] * out

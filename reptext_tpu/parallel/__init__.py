@@ -1,0 +1,9 @@
+"""Device mesh construction and sharding rules (dp x tp over ICI)."""
+
+from reptext_tpu.parallel.mesh import make_mesh  # noqa: F401
+from reptext_tpu.parallel.partition import (  # noqa: F401
+    MMDIT_PARAM_RULES,
+    param_shardings,
+    shard_params,
+    shard_batch,
+)

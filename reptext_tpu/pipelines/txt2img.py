@@ -1,0 +1,356 @@
+"""RepText text-to-image pipeline (FLUX + ControlNet), TPU-native.
+
+Mirrors the reference ``FluxControlNetPipeline.__call__`` surface
+(RepText/pipeline_flux_controlnet.py:749-1148): canny/position/region-mask
+conditioning per text line, glyph canvas for latent init, embedded guidance,
+FlowMatch Euler loop with step-gated, regionally-masked ControlNet residual
+injection. Structural differences (TPU-first, same semantics):
+
+- prompt encoding, condition VAE-encoding, the full denoise loop, and the
+  final decode are each ONE jitted XLA computation; the loop itself is a
+  lax.scan (see reptext_tpu.sampling.sampler);
+- text lines are batched through the ControlNet, not Python-looped;
+- the glyph-latent init blend is applied when `PipelineConfig.glyph_latent_init`
+  (the reference txt2img computes-but-drops it — upstream bug, SURVEY.md §2.1;
+  the inpaint pipeline applies it at pipeline_flux_controlnet_inpaint.py:647);
+- randomness comes from explicit jax PRNG keys (`seed`), replacing
+  torch.Generator.
+
+Weights come from `reptext_tpu.io.convert` (HF safetensors) or random init for
+smoke tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reptext_tpu.configs import (
+    CLIPConfig,
+    ControlNetConfig,
+    FluxConfig,
+    PipelineConfig,
+    T5Config,
+    VAEConfig,
+)
+from reptext_tpu.conditioning.glyph import Conditions
+from reptext_tpu.models import FluxTransformer2D, RepTextControlNet
+from reptext_tpu.nn.clip import CLIPTextEncoder
+from reptext_tpu.nn.t5 import T5Encoder
+from reptext_tpu.nn.vae import AutoencoderKL
+from reptext_tpu.ops.latents import (
+    downsample_region_mask,
+    pack_latents,
+    prepare_latent_image_ids,
+    unpack_latents,
+)
+from reptext_tpu.sampling.flow_match import build_schedule
+from reptext_tpu.sampling.sampler import make_txt2img_sampler
+from reptext_tpu.utils.image import postprocess_images, preprocess_images
+
+
+@dataclasses.dataclass
+class FluxRepTextPipeline:
+    """Holds models + params and exposes the generation entry point."""
+
+    flux: FluxTransformer2D
+    controlnet: RepTextControlNet
+    vae: AutoencoderKL
+    params: Dict[str, Any]                      # keys: flux, controlnet, vae[, clip, t5]
+    pipe_cfg: PipelineConfig
+    clip: Optional[CLIPTextEncoder] = None
+    t5: Optional[T5Encoder] = None
+    compute_dtype: Any = jnp.float32
+
+    # ---------------------------------------------------------------- build
+
+    @classmethod
+    def create(
+        cls,
+        flux_cfg: FluxConfig,
+        cn_cfg: ControlNetConfig,
+        vae_cfg: VAEConfig,
+        pipe_cfg: PipelineConfig,
+        params: Optional[Dict[str, Any]] = None,
+        clip_cfg: Optional[CLIPConfig] = None,
+        t5_cfg: Optional[T5Config] = None,
+        seed: int = 0,
+        compute_dtype: Any = jnp.float32,
+        param_dtype: Any = jnp.float32,
+        attention_backend: Optional[str] = None,
+    ) -> "FluxRepTextPipeline":
+        """Construct models; if ``params`` is None, random-init (smoke tests)."""
+        flux = FluxTransformer2D(
+            flux_cfg, attention_backend=attention_backend,
+            dtype=compute_dtype, param_dtype=param_dtype,
+        )
+        cn = RepTextControlNet(
+            cn_cfg, attention_backend=attention_backend,
+            dtype=compute_dtype, param_dtype=param_dtype,
+        )
+        vae = AutoencoderKL(vae_cfg, dtype=compute_dtype, param_dtype=param_dtype)
+        clip = CLIPTextEncoder(clip_cfg, compute_dtype, param_dtype) if clip_cfg else None
+        t5 = T5Encoder(t5_cfg, compute_dtype, param_dtype) if t5_cfg else None
+
+        if params is None:
+            params = cls._random_init(
+                flux, cn, vae, clip, t5, flux_cfg, cn_cfg, vae_cfg, pipe_cfg, seed
+            )
+        return cls(
+            flux=flux, controlnet=cn, vae=vae, params=params, pipe_cfg=pipe_cfg,
+            clip=clip, t5=t5, compute_dtype=compute_dtype,
+        )
+
+    @staticmethod
+    def _random_init(flux, cn, vae, clip, t5, flux_cfg, cn_cfg, vae_cfg, pipe_cfg, seed):
+        rng = jax.random.PRNGKey(seed)
+        k_flux, k_cn, k_vae, k_clip, k_t5 = jax.random.split(rng, 5)
+        s_img = pipe_cfg.image_seq_len
+        s_txt = 8  # init-time trace length; modules are length-agnostic
+        img_ids = prepare_latent_image_ids(pipe_cfg.latent_height, pipe_cfg.latent_width)
+        txt_ids = jnp.zeros((s_txt, 3))
+        guidance = jnp.ones((1,)) if flux_cfg.guidance_embeds else None
+
+        params: Dict[str, Any] = {}
+        params["flux"] = flux.init(
+            k_flux,
+            jnp.zeros((1, s_img, flux_cfg.in_channels)),
+            jnp.zeros((1, s_txt, flux_cfg.joint_attention_dim)),
+            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+            jnp.zeros((1,)),
+            img_ids, txt_ids, guidance,
+        )
+        params["controlnet"] = cn.init(
+            k_cn,
+            jnp.zeros((1, s_img, cn_cfg.in_channels)),
+            jnp.zeros((1, s_img, cn_cfg.in_channels + cn_cfg.extra_condition_channels)),
+            jnp.zeros((1, s_txt, cn_cfg.joint_attention_dim)),
+            jnp.zeros((1, cn_cfg.pooled_projection_dim)),
+            jnp.zeros((1,)),
+            img_ids, txt_ids,
+            jnp.ones((1,)) if cn_cfg.guidance_embeds else None,
+        )
+        params["vae"] = vae.init(
+            k_vae, jnp.zeros((1, 8 * vae_cfg.scale_factor, 8 * vae_cfg.scale_factor, 3))
+        )
+        if clip is not None:
+            params["clip"] = clip.init(
+                k_clip, jnp.zeros((1, clip.config.max_position_embeddings), jnp.int32)
+            )
+        if t5 is not None:
+            params["t5"] = t5.init(k_t5, jnp.zeros((1, 16), jnp.int32))
+        return params
+
+    # ------------------------------------------------------------- encoders
+
+    def encode_prompt(
+        self, clip_ids: jax.Array, t5_ids: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(clip token ids [B, 77], t5 token ids [B, <=512]) ->
+        (prompt_embeds [B, S_txt, 4096], pooled [B, 768]).
+
+        Reference: encode_prompt (RepText/pipeline_flux_controlnet.py:349-456).
+        """
+        if self.clip is None or self.t5 is None:
+            raise ValueError("pipeline built without text encoders; pass embeddings directly")
+        if t5_ids.shape[1] > self.pipe_cfg.max_sequence_length:
+            raise ValueError(
+                f"T5 sequence {t5_ids.shape[1]} exceeds max "
+                f"{self.pipe_cfg.max_sequence_length}"
+            )
+        _, pooled = self._clip_apply(self.params["clip"], clip_ids)
+        seq = self._t5_apply(self.params["t5"], t5_ids)
+        return seq, pooled
+
+    # -------------------------------------------------------- cond building
+
+    def prepare_control_tokens(
+        self, conditions: Conditions, rng: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Conditions -> (cond_tokens [N, S, 2*4*C], token_masks [N, S, 1]).
+
+        Per line: VAE-encode canny image and 3-channel-replicated position
+        mask, scale/shift, channel-concat, 2x2-pack (reference prepare_image,
+        RepText/pipeline_flux_controlnet.py:663-731); region mask bilinearly
+        downsampled to tokens (reference :1007-1013).
+        """
+        cfg = self.pipe_cfg
+        n = conditions.num_lines
+        canny = jnp.asarray(
+            preprocess_images(np.stack([lc.canny_image for lc in conditions.lines]))
+        )
+        pos = np.stack(
+            [np.repeat(lc.position_mask[:, :, None], 3, axis=2) for lc in conditions.lines]
+        )
+        pos = jnp.asarray(preprocess_images(pos))
+        r1, r2 = jax.random.split(rng)
+        canny_lat = self._encode_scaled(canny, r1)          # [N, h, w, C] NHWC
+        pos_lat = self._encode_scaled(pos, r2)
+        cond = jnp.concatenate([canny_lat, pos_lat], axis=-1)
+        cond_tokens = pack_latents(cond.transpose(0, 3, 1, 2))
+
+        masks = np.stack([lc.region_mask for lc in conditions.lines]).astype(np.float32) / 255.0
+        token_masks = jax.vmap(
+            lambda m: downsample_region_mask(m, cfg.latent_height, cfg.latent_width)
+        )(jnp.asarray(masks))
+        return cond_tokens, token_masks
+
+    def prepare_latents(
+        self,
+        rng: jax.Array,
+        batch_size: int,
+        glyph_canvas: Optional[np.ndarray] = None,
+        glyph_rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Initial packed latents [B, S, 4*C]; optional glyph-latent init blend.
+
+        Reference: prepare_latents_reptext
+        (RepText/pipeline_flux_controlnet.py:608-660) with the blend actually
+        applied when cfg.glyph_latent_init (see module docstring).
+        """
+        cfg = self.pipe_cfg
+        c = self.vae.config.latent_channels
+        h, w = cfg.latent_height, cfg.latent_width
+        noise = jax.random.normal(rng, (batch_size, c, h, w), jnp.float32)
+
+        if glyph_canvas is not None and cfg.glyph_latent_init:
+            img = jnp.asarray(preprocess_images(glyph_canvas))
+            glyph_lat = self._encode_scaled(
+                img, glyph_rng if glyph_rng is not None else jax.random.PRNGKey(0)
+            )
+            glyph_lat = jnp.broadcast_to(
+                glyph_lat.transpose(0, 3, 1, 2), noise.shape
+            )
+            ink = (jnp.asarray(glyph_canvas).astype(jnp.float32) > 0).any(axis=-1)
+            mask = jax.image.resize(ink.astype(jnp.float32), (h, w), "linear")
+            mask = (mask > 0).astype(jnp.float32)[None, None]
+            noise = jnp.where(
+                mask > 0.5, cfg.glyph_latent_scale * glyph_lat + noise, noise
+            )
+        return pack_latents(noise)
+
+    # --------------------------------------------------------------- call
+
+    def __call__(
+        self,
+        conditions: Conditions,
+        prompt_embeds: Optional[jax.Array] = None,
+        pooled_embeds: Optional[jax.Array] = None,
+        clip_ids: Optional[jax.Array] = None,
+        t5_ids: Optional[jax.Array] = None,
+        seed: int = 42,
+        num_images: int = 1,
+        guidance_scale: Optional[float] = None,
+        num_inference_steps: Optional[int] = None,
+        output_type: str = "np",
+    ) -> np.ndarray:
+        """Generate images. Either embeddings or token ids must be provided."""
+        cfg = self.pipe_cfg
+        steps = num_inference_steps or cfg.num_inference_steps
+        gscale = guidance_scale if guidance_scale is not None else cfg.guidance_scale
+
+        if prompt_embeds is None:
+            prompt_embeds, pooled_embeds = self.encode_prompt(clip_ids, t5_ids)
+
+        rng = jax.random.PRNGKey(seed)
+        r_lat, r_cond, r_glyph = jax.random.split(rng, 3)
+        cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
+        latents = self.prepare_latents(
+            r_lat, num_images, conditions.glyph_canvas, r_glyph
+        )
+
+        img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
+        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))
+        guidance = (
+            jnp.full((num_images,), gscale, jnp.float32)
+            if self.flux.config.guidance_embeds else None
+        )
+
+        sampler = self._get_sampler(steps)
+        latents = sampler(
+            self.params["flux"], self.params["controlnet"], latents,
+            cond_tokens, token_masks, prompt_embeds, pooled_embeds,
+            txt_ids, img_ids, guidance,
+        )
+
+        images = self._decode(latents)
+        if output_type == "latent":
+            return latents
+        return postprocess_images(images)
+
+    # ------------------------------------------------------------ internals
+
+    def _encode_scaled(self, images_nhwc: jax.Array, rng: jax.Array) -> jax.Array:
+        """VAE-encode and apply (x - shift) * scale (reference :715-726)."""
+        vcfg = self.vae.config
+        lat = self._vae_encode(self.params["vae"], images_nhwc, rng)
+        return (lat - vcfg.shift_factor) * vcfg.scaling_factor
+
+    def _decode(self, packed_latents: jax.Array) -> jax.Array:
+        cfg = self.pipe_cfg
+        return self._vae_decode(self.params["vae"], packed_latents,
+                                cfg.latent_height, cfg.latent_width)
+
+    # jitted apply fns (cached per instance)
+
+    @functools.cached_property
+    def _vae_encode(self):
+        @jax.jit
+        def f(params, images, rng):
+            return self.vae.apply(
+                params, images.astype(self.compute_dtype), rng, method="encode"
+            )
+        return f
+
+    @functools.cached_property
+    def _vae_decode(self):
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def f(params, packed, h, w):
+            vcfg = self.vae.config
+            lat = unpack_latents(packed.astype(self.compute_dtype), h, w)
+            lat = lat / vcfg.scaling_factor + vcfg.shift_factor
+            return self.vae.apply(params, lat.transpose(0, 2, 3, 1), method="decode")
+        return f
+
+    @functools.cached_property
+    def _clip_apply(self):
+        return jax.jit(lambda p, ids: self.clip.apply(p, ids))
+
+    @functools.cached_property
+    def _t5_apply(self):
+        return jax.jit(lambda p, ids: self.t5.apply(p, ids))
+
+    def _get_sampler(self, steps: int):
+        if not hasattr(self, "_samplers"):
+            self._samplers = {}
+        if steps not in self._samplers:
+            cfg = self.pipe_cfg
+            schedule = build_schedule(
+                steps, cfg.image_seq_len,
+                cfg.base_image_seq_len, cfg.max_image_seq_len,
+                cfg.base_shift, cfg.max_shift, cfg.use_dynamic_shifting,
+            )
+
+            def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
+                return self.flux.apply(
+                    p, x, ctx, pooled, t, iid, tid, g,
+                    controlnet_block_samples=br,
+                    controlnet_single_block_samples=sr,
+                )
+
+            def cn_apply(p, x, cond, ctx, pooled, t, iid, tid, g, scale):
+                return self.controlnet.apply(
+                    p, x, cond, ctx, pooled, t, iid, tid, g,
+                    conditioning_scale=scale,
+                )
+
+            sample = make_txt2img_sampler(
+                flux_apply, cn_apply, schedule, cfg, self.compute_dtype
+            )
+            self._samplers[steps] = jax.jit(sample)
+        return self._samplers[steps]

@@ -1,0 +1,148 @@
+"""Fused RepText denoising loop: one jitted lax.scan over FlowMatch Euler steps.
+
+TPU-first redesign of the reference's Python hot loop
+(RepText/pipeline_flux_controlnet.py:1016-1130). Differences in structure, not
+semantics:
+
+- The whole loop (ControlNet fwd + regional masking + base transformer fwd +
+  Euler update) is ONE compiled XLA graph via ``lax.scan`` — zero host-device
+  round trips per step.
+- The per-line ControlNet Python loop (reference :1037-1090) becomes a batch:
+  lines are stacked onto the ControlNet batch axis, residuals are multiplied by
+  per-line token masks and summed over lines in one einsum-like contraction.
+- Step gating (ControlNet only for the first ``controlnet_conditioning_step``
+  steps, reference :1042) is a ``lax.cond`` inside the scan body, so gated-off
+  steps skip the ControlNet entirely at runtime.
+- Latents are carried in fp32 (Euler math), model inputs cast to the model
+  compute dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from reptext_tpu.configs import PipelineConfig
+from reptext_tpu.sampling.flow_match import FlowMatchSchedule
+
+
+def make_txt2img_sampler(
+    flux_apply: Callable,
+    controlnet_apply: Callable,
+    schedule: FlowMatchSchedule,
+    pipe_cfg: PipelineConfig,
+    compute_dtype: Any = jnp.float32,
+) -> Callable:
+    """Build the jitted sampling function.
+
+    ``flux_apply(params, hidden, ctx, pooled, t, img_ids, txt_ids, guidance,
+    block_res, single_res)`` and ``controlnet_apply(params, hidden, cond, ctx,
+    pooled, t, img_ids, txt_ids, guidance, scale)`` are bound model apply fns
+    (e.g. functools.partial(model.apply)).
+    """
+    sigmas = jnp.asarray(schedule.sigmas, jnp.float32)
+    timesteps = jnp.asarray(schedule.timesteps, jnp.float32)
+    num_steps = schedule.num_steps
+    gate_step = min(pipe_cfg.controlnet_conditioning_step, num_steps)
+    cond_scale = pipe_cfg.controlnet_conditioning_scale
+
+    def sample(
+        flux_params,
+        cn_params,
+        latents: jax.Array,        # [B, S, C] packed fp32 initial latents
+        cond_tokens: jax.Array,    # [N_lines, S, F] packed control conditioning
+        token_masks: jax.Array,    # [N_lines, S, 1] per-token regional masks
+        prompt_embeds: jax.Array,  # [B, S_txt, joint_dim]
+        pooled_embeds: jax.Array,  # [B, pooled_dim]
+        txt_ids: jax.Array,        # [S_txt, 3]
+        img_ids: jax.Array,        # [S_img, 3]
+        guidance: Optional[jax.Array],  # [B] or None
+    ) -> jax.Array:
+        b = latents.shape[0]
+        n_lines = cond_tokens.shape[0]
+
+        ctx = prompt_embeds.astype(compute_dtype)
+        pooled = pooled_embeds.astype(compute_dtype)
+        cond = jnp.repeat(cond_tokens, b, axis=0).astype(compute_dtype)  # [N*B, S, F]
+        # line-major tiling: latents for line j, image i at index j*b + i
+        ctx_nb = jnp.tile(ctx, (n_lines, 1, 1))
+        pooled_nb = jnp.tile(pooled, (n_lines, 1))
+        guidance_nb = None if guidance is None else jnp.tile(guidance, n_lines)
+        masks = token_masks[None, :, None, :, :]  # [1, N, 1, S, 1]
+
+        def run_controlnet(x_model, t_b):
+            block, single = controlnet_apply(
+                cn_params,
+                jnp.tile(x_model, (n_lines, 1, 1)),
+                cond,
+                ctx_nb,
+                pooled_nb,
+                jnp.tile(t_b, n_lines),
+                img_ids,
+                txt_ids,
+                guidance_nb,
+                cond_scale,
+            )
+            # [L, N*B, S, D] -> [L, N, B, S, D]; regional mask; sum lines
+            def mask_and_sum(res):
+                l, nb, s, d = res.shape
+                res = res.reshape(l, n_lines, b, s, d)
+                return (res * masks.astype(res.dtype)).sum(axis=1)
+
+            return mask_and_sum(block), mask_and_sum(single)
+
+        def step(carry, i):
+            lat = carry
+            t_b = jnp.full((b,), timesteps[i] / 1000.0, compute_dtype)
+            x_model = lat.astype(compute_dtype)
+
+            def with_cn(_):
+                return run_controlnet(x_model, t_b)
+
+            def without_cn(_):
+                zb = jnp.zeros(
+                    (cn_num_layers, b, lat.shape[1], inner_dim), compute_dtype
+                )
+                zs = jnp.zeros(
+                    (cn_num_single, b, lat.shape[1], inner_dim), compute_dtype
+                )
+                return zb, zs
+
+            block_res, single_res = jax.lax.cond(
+                i < gate_step, with_cn, without_cn, operand=None
+            )
+
+            velocity = flux_apply(
+                flux_params,
+                x_model,
+                ctx,
+                pooled,
+                t_b,
+                img_ids,
+                txt_ids,
+                guidance,
+                block_res,
+                single_res,
+            )
+            dt = sigmas[i + 1] - sigmas[i]
+            lat = lat + dt * velocity.astype(jnp.float32)
+            return lat, None
+
+        # Residual stack shapes come from one abstract ControlNet eval.
+        cn_shapes = jax.eval_shape(
+            run_controlnet,
+            jax.ShapeDtypeStruct(latents.shape, compute_dtype),
+            jax.ShapeDtypeStruct((b,), compute_dtype),
+        )
+        cn_num_layers = cn_shapes[0].shape[0]
+        cn_num_single = cn_shapes[1].shape[0]
+        inner_dim = cn_shapes[0].shape[-1]
+
+        latents_out, _ = jax.lax.scan(
+            step, latents.astype(jnp.float32), jnp.arange(num_steps)
+        )
+        return latents_out
+
+    return sample

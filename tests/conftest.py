@@ -5,7 +5,8 @@ Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the environment presets JAX_PLATFORMS=axon (TPU tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -13,3 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# XLA CPU's default matmul precision is reduced (~bf16-level error); force full
+# fp32 accumulation so numerics tests compare against numpy exactly.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# jax 0.9's CPU backend ignores --xla_force_host_platform_device_count; the
+# supported switch is the config option:
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,64 @@
+"""Attention backends: XLA reference vs Pallas kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reptext_tpu.ops.attention import xla_attention
+from reptext_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(b=1, h=2, s=128, d=32, seed=0, dtype=jnp.float32):
+    r = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(r.standard_normal((b, h, s, d)), dtype)  # noqa: E731
+    return mk(), mk(), mk()
+
+
+def test_xla_attention_matches_naive_softmax():
+    q, k, v = _qkv(s=16, d=8)
+    out = np.asarray(xla_attention(q, k, v))
+    logits = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(8)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", probs, np.asarray(v))
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("s", [128, 256, 384])
+def test_flash_matches_xla_aligned(s):
+    q, k, v = _qkv(b=1, h=2, s=s, d=32, seed=s)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_unaligned_seq_len():
+    # 200 is not a multiple of 128: exercises padding + key masking
+    q, k, v = _qkv(b=2, h=2, s=200, d=32, seed=7)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, interpret=True))
+    assert got.shape == (2, 2, 200, 32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_gradients_match_xla():
+    q, k, v = _qkv(b=1, h=2, s=128, d=32, seed=11)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, 128, True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (xla_attention(q, k, v) ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-3, atol=1e-3)
+
+
+def test_flash_bf16():
+    q, k, v = _qkv(b=1, h=1, s=128, d=32, seed=9, dtype=jnp.bfloat16)
+    want = np.asarray(xla_attention(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_attention(q, k, v, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

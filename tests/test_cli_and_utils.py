@@ -1,0 +1,60 @@
+"""CLI argument handling, prompt building, image utils, profiling utils."""
+
+import numpy as np
+import pytest
+
+from reptext_tpu.cli import build_prompt, contains_cjk
+from reptext_tpu.utils.image import postprocess_images, preprocess_images
+from reptext_tpu.utils.profiling import StepTimer
+
+
+def test_contains_cjk():
+    assert contains_cjk("哩布")
+    assert not contains_cjk("Shakker")
+    assert not contains_cjk("مرحبا")
+
+
+def test_build_prompt_quotes_non_cjk():
+    p = build_prompt("a street sign", ["哩布", "Hello", "مرحبا"], ", film")
+    assert "'Hello'" in p
+    assert "'مرحبا'" in p       # Arabic is quoted (not CJK)
+    assert "哩布" not in p       # CJK not quoted into prompt
+    assert p.endswith(", film")
+
+
+def test_preprocess_postprocess_roundtrip():
+    img = np.random.default_rng(0).integers(0, 255, (2, 8, 8, 3), np.uint8)
+    x = preprocess_images(img)
+    assert x.shape == (2, 8, 8, 3)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    back = postprocess_images(x)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_preprocess_single_image_adds_batch():
+    img = np.zeros((8, 8, 3), np.uint8)
+    assert preprocess_images(img).shape == (1, 8, 8, 3)
+
+
+def test_postprocess_clamps():
+    x = np.asarray([[[[2.0, -2.0, 0.0]]]])
+    out = postprocess_images(x)
+    assert out[0, 0, 0].tolist() == [255, 0, 128]
+
+
+def test_step_timer():
+    timer = StepTimer(warmup=1)
+    for _ in range(4):
+        with timer.step():
+            pass
+    s = timer.summary()
+    assert s["steps"] == 3
+    assert s["mean_s"] >= 0
+
+
+def test_cli_argument_validation():
+    from reptext_tpu.cli import main
+    with pytest.raises(SystemExit):
+        main(["--text", "a", "--position", "1", "2", "--position", "3", "4"])
+    with pytest.raises(SystemExit):  # no weights source
+        main(["--text", "a", "--position", "1", "2"])

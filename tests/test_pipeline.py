@@ -1,0 +1,84 @@
+"""Tiny-config end-to-end pipeline test: conditions -> sampler -> image."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reptext_tpu.configs import (
+    CLIPConfig,
+    ControlNetConfig,
+    FluxConfig,
+    PipelineConfig,
+    T5Config,
+    VAEConfig,
+)
+from reptext_tpu.conditioning import TextLine, build_conditions
+from reptext_tpu.pipelines import FluxRepTextPipeline
+
+H = W = 64  # latent 8x8 -> 16 tokens
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    pipe_cfg = PipelineConfig(
+        height=H, width=W, num_inference_steps=2, controlnet_conditioning_step=1,
+        guidance_scale=3.5,
+    )
+    return FluxRepTextPipeline.create(
+        flux_cfg=FluxConfig().tiny(),
+        cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=pipe_cfg,
+        clip_cfg=CLIPConfig().tiny(),
+        t5_cfg=T5Config().tiny(),
+    )
+
+
+@pytest.fixture(scope="module")
+def conditions():
+    return build_conditions(
+        [TextLine("Hi", (8, 16), font_size=24)], width=W, height=H
+    )
+
+
+def test_end_to_end_generation(pipeline, conditions):
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    images = pipeline(
+        conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=42, num_images=1
+    )
+    assert images.shape == (1, H, W, 3)
+    assert images.dtype == np.uint8
+    assert np.isfinite(images.astype(np.float64)).all()
+
+
+def test_generation_deterministic_per_seed(pipeline, conditions):
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    kw = dict(conditions=conditions, clip_ids=clip_ids, t5_ids=t5_ids, num_images=1)
+    a = pipeline(seed=42, **kw)
+    b = pipeline(seed=42, **kw)
+    c = pipeline(seed=43, **kw)
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_latent_output_type(pipeline, conditions):
+    clip_ids = jnp.asarray([[3, 255, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 1, 0, 0, 0, 0]], jnp.int32)
+    lat = pipeline(
+        conditions, clip_ids=clip_ids, t5_ids=t5_ids, output_type="latent"
+    )
+    assert lat.shape == (1, 16, 4 * VAEConfig().tiny().latent_channels)
+
+
+def test_multiline_conditions(pipeline):
+    conds = build_conditions(
+        [TextLine("A", (6, 10), font_size=20), TextLine("B", (30, 34), font_size=20)],
+        width=W, height=H,
+    )
+    clip_ids = jnp.asarray([[3, 255, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 1, 0, 0, 0, 0]], jnp.int32)
+    images = pipeline(conds, clip_ids=clip_ids, t5_ids=t5_ids)
+    assert images.shape == (1, H, W, 3)
