@@ -57,10 +57,13 @@ def build_step(num_double: int, num_single: int, with_cn: bool):
     guidance = jnp.full((b,), 3.5, jnp.bfloat16)
     params = jax.jit(model.init)(rng, hidden, ctx, pooled, t, img_ids, txt_ids, guidance)
 
+    # params MUST be jit arguments: closure-captured params are baked into the
+    # program as constants (gigabytes shipped to the compiler).
     if not with_cn:
-        def fn(h):
-            return model.apply(params, h, ctx, pooled, t, img_ids, txt_ids, guidance)
-        return jax.jit(fn), hidden
+        def fn(p, h):
+            return model.apply(p, h, ctx, pooled, t, img_ids, txt_ids, guidance)
+        jfn = jax.jit(fn)
+        return (lambda h: jfn(params, h)), hidden
 
     cn_cfg = dataclasses.replace(
         ControlNetConfig(), num_layers=CN_DOUBLE, num_single_layers=CN_SINGLE
@@ -71,15 +74,16 @@ def build_step(num_double: int, num_single: int, with_cn: bool):
         rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids, guidance
     )
 
-    def fn(h):
+    def fn(p, cp, h):
         block, single = cn.apply(
-            cn_params, h, cond, ctx, pooled, t, img_ids, txt_ids, guidance
+            cp, h, cond, ctx, pooled, t, img_ids, txt_ids, guidance
         )
         return model.apply(
-            params, h, ctx, pooled, t, img_ids, txt_ids, guidance,
+            p, h, ctx, pooled, t, img_ids, txt_ids, guidance,
             controlnet_block_samples=block, controlnet_single_block_samples=single,
         )
-    return jax.jit(fn), hidden
+    jfn = jax.jit(fn)
+    return (lambda h: jfn(params, cn_params, h)), hidden
 
 
 def timeit(fn, x, iters=10):
