@@ -86,6 +86,24 @@ def build_step(num_double: int, num_single: int, with_cn: bool):
     return (lambda h: jfn(params, cn_params, h)), hidden
 
 
+def build_vae_decode():
+    """Full FLUX VAE decoder at 1024^2 (runs once per image)."""
+    from reptext_tpu.configs import VAEConfig
+    from reptext_tpu.nn.vae import AutoencoderKL
+
+    cfg = VAEConfig()
+    vae = AutoencoderKL(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (1, 128, 128, cfg.latent_channels), jnp.bfloat16)
+    params = jax.jit(vae.init)(rng, z[:, :16, :16, :])  # init shape-agnostic (conv)
+
+    def fn(p, z):
+        return vae.apply(p, z, method="decode")
+
+    jfn = jax.jit(fn)
+    return (lambda z: jfn(params, z)), z
+
+
 def timeit(fn, x, iters=10):
     out = fn(x)
     jax.block_until_ready(out)
@@ -124,12 +142,18 @@ def main(verbose: bool = False):
     log(f"CN step: {t_cn_step*1e3:.1f}ms")
     cn_cost = max(t_cn_step - t_a, 0.0)
 
+    # VAE decode: once per image
+    log("building VAE decode...")
+    fn_v, z = build_vae_decode()
+    t_vae = timeit(fn_v, z, iters=5)
+    log(f"VAE decode: {t_vae*1e3:.1f}ms")
+
     # extrapolate base transformer to full depth (linear in depth, exact for
     # homogeneous blocks)
     scale = (FULL_DOUBLE + FULL_SINGLE / 2) / (MEAS_DOUBLE + MEAS_SINGLE / 2)
     t_full_base = overhead + block_time * scale
     t_full_step_gated = t_full_base + cn_cost       # while ControlNet active
-    t_image = STEPS * t_full_base + STEPS * CN_GATE_FRAC * cn_cost
+    t_image = STEPS * t_full_base + STEPS * CN_GATE_FRAC * cn_cost + t_vae
 
     images_per_min = 60.0 / t_image
     result = {
@@ -140,6 +164,7 @@ def main(verbose: bool = False):
         "measured_step_ms_depth_2_4": round(t_a * 1e3, 2),
         "measured_step_ms_depth_4_8": round(t_b * 1e3, 2),
         "controlnet_marginal_ms": round(cn_cost * 1e3, 2),
+        "vae_decode_ms": round(t_vae * 1e3, 2),
         "extrapolated_full_step_ms": round(t_full_step_gated * 1e3, 2),
         "seconds_per_image_extrapolated": round(t_image, 3),
         "backend": jax.default_backend(),

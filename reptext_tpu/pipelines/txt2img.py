@@ -247,9 +247,25 @@ class FluxRepTextPipeline:
         num_images: int = 1,
         guidance_scale: Optional[float] = None,
         num_inference_steps: Optional[int] = None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 1.0,
+        callback=None,
+        callback_steps: int = 1,
         output_type: str = "np",
     ) -> np.ndarray:
-        """Generate images. Either embeddings or token ids must be provided."""
+        """Generate images. Either embeddings or token ids must be provided.
+
+        ``init_image``/``strength`` give img2img: denoising starts from the
+        VAE latent of the image noised to sigma[t0], t0 = steps*(1-strength)
+        (the reference carries this as unused `get_timesteps`,
+        RepText/pipeline_flux_controlnet.py:474-483; functional here).
+
+        ``callback(step_index, latents) -> bool|None`` runs every
+        ``callback_steps`` steps; returning False aborts sampling (the
+        reference's cooperative `_interrupt`,
+        RepText/pipeline_flux_controlnet.py:1019-1020). Sampling inside each
+        chunk stays one fused graph.
+        """
         cfg = self.pipe_cfg
         steps = num_inference_steps or cfg.num_inference_steps
         gscale = guidance_scale if guidance_scale is not None else cfg.guidance_scale
@@ -260,9 +276,24 @@ class FluxRepTextPipeline:
         rng = jax.random.PRNGKey(seed)
         r_lat, r_cond, r_glyph = jax.random.split(rng, 3)
         cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
-        latents = self.prepare_latents(
-            r_lat, num_images, conditions.glyph_canvas, r_glyph
-        )
+
+        sampler = self._get_sampler(steps)
+        schedule = self._schedules[steps]
+
+        t_start = 0
+        if init_image is not None and strength < 1.0:
+            t_start = min(int(steps * (1.0 - strength)), steps - 1)
+            noise = self.prepare_latents(r_lat, num_images, None, None)
+            img = jnp.asarray(preprocess_images(init_image))
+            img_lat = self._encode_scaled(img, r_glyph).transpose(0, 3, 1, 2)
+            img_packed = pack_latents(jnp.broadcast_to(
+                img_lat, (num_images,) + img_lat.shape[1:]))
+            sigma0 = float(schedule.sigmas[t_start])
+            latents = sigma0 * noise + (1.0 - sigma0) * img_packed
+        else:
+            latents = self.prepare_latents(
+                r_lat, num_images, conditions.glyph_canvas, r_glyph
+            )
 
         img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
         txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))
@@ -271,16 +302,35 @@ class FluxRepTextPipeline:
             if self.flux.config.guidance_embeds else None
         )
 
-        sampler = self._get_sampler(steps)
-        latents = sampler(
-            self.params["flux"], self.params["controlnet"], latents,
+        margs = (
+            self.params["flux"], self.params["controlnet"],
+        )
+        sargs = (
             cond_tokens, token_masks, prompt_embeds, pooled_embeds,
             txt_ids, img_ids, guidance,
         )
+        remaining = steps - t_start
+        if callback is None:
+            if t_start == 0:
+                latents = sampler(*margs, latents, *sargs)
+            else:
+                latents = self._get_chunk_sampler(steps, remaining)(
+                    *margs, latents, *sargs, t_start
+                )
+        else:
+            i = t_start
+            while i < steps:
+                k = min(callback_steps, steps - i)
+                latents = self._get_chunk_sampler(steps, k)(
+                    *margs, latents, *sargs, i
+                )
+                i += k
+                if callback(i, latents) is False:
+                    break
 
-        images = self._decode(latents)
         if output_type == "latent":
             return latents
+        images = self._decode(latents)
         return postprocess_images(images)
 
     # ------------------------------------------------------------ internals
@@ -328,6 +378,8 @@ class FluxRepTextPipeline:
     def _get_sampler(self, steps: int):
         if not hasattr(self, "_samplers"):
             self._samplers = {}
+            self._raw_samplers = {}
+            self._schedules = {}
         if steps not in self._samplers:
             cfg = self.pipe_cfg
             schedule = build_schedule(
@@ -335,6 +387,7 @@ class FluxRepTextPipeline:
                 cfg.base_image_seq_len, cfg.max_image_seq_len,
                 cfg.base_shift, cfg.max_shift, cfg.use_dynamic_shifting,
             )
+            self._schedules[steps] = schedule
 
             def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
                 return self.flux.apply(
@@ -352,5 +405,19 @@ class FluxRepTextPipeline:
             sample = make_txt2img_sampler(
                 flux_apply, cn_apply, schedule, cfg, self.compute_dtype
             )
+            self._raw_samplers[steps] = sample
             self._samplers[steps] = jax.jit(sample)
         return self._samplers[steps]
+
+    def _get_chunk_sampler(self, steps: int, chunk_len: int):
+        """Jitted fixed-length chunk of the denoise loop (traced start_step)."""
+        if not hasattr(self, "_chunk_samplers"):
+            self._chunk_samplers = {}
+        key = (steps, chunk_len)
+        if key not in self._chunk_samplers:
+            self._get_sampler(steps)
+            chunked = self._raw_samplers[steps].chunked
+            self._chunk_samplers[key] = jax.jit(
+                lambda *args: chunked(*args, chunk_len)
+            )
+        return self._chunk_samplers[key]

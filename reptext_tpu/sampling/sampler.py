@@ -48,7 +48,7 @@ def make_txt2img_sampler(
     gate_step = min(pipe_cfg.controlnet_conditioning_step, num_steps)
     cond_scale = pipe_cfg.controlnet_conditioning_scale
 
-    def sample(
+    def _scan_chunk(
         flux_params,
         cn_params,
         latents: jax.Array,        # [B, S, C] packed fp32 initial latents
@@ -59,6 +59,8 @@ def make_txt2img_sampler(
         txt_ids: jax.Array,        # [S_txt, 3]
         img_ids: jax.Array,        # [S_img, 3]
         guidance: Optional[jax.Array],  # [B] or None
+        start_step=0,              # traced: chunk offset into the schedule
+        chunk_steps: int = None,   # static: steps in this scan
     ) -> jax.Array:
         b = latents.shape[0]
         n_lines = cond_tokens.shape[0]
@@ -140,9 +142,36 @@ def make_txt2img_sampler(
         cn_num_single = cn_shapes[1].shape[0]
         inner_dim = cn_shapes[0].shape[-1]
 
-        latents_out, _ = jax.lax.scan(
-            step, latents.astype(jnp.float32), jnp.arange(num_steps)
-        )
+        indices = jnp.arange(chunk_steps) + start_step
+        latents_out, _ = jax.lax.scan(step, latents.astype(jnp.float32), indices)
         return latents_out
 
+    def sample(
+        flux_params, cn_params, latents, cond_tokens, token_masks,
+        prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+        start_step=0,
+    ):
+        return _scan_chunk(
+            flux_params, cn_params, latents, cond_tokens, token_masks,
+            prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+            start_step, num_steps,
+        )
+
+    def sample_chunk(
+        flux_params, cn_params, latents, cond_tokens, token_masks,
+        prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+        start_step, chunk_len,
+    ):
+        """Run ``chunk_len`` (static) steps from traced ``start_step`` —
+        enables host callbacks / cooperative interruption between chunks
+        (the reference's per-step `self._interrupt` check,
+        RepText/pipeline_flux_controlnet.py:1019-1020, without giving up the
+        fused graph inside a chunk)."""
+        return _scan_chunk(
+            flux_params, cn_params, latents, cond_tokens, token_masks,
+            prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+            start_step, chunk_len,
+        )
+
+    sample.chunked = sample_chunk
     return sample

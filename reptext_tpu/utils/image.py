@@ -26,3 +26,35 @@ def postprocess_images(images) -> np.ndarray:
     arr = np.asarray(images, dtype=np.float32)
     arr = np.clip(arr / 2.0 + 0.5, 0.0, 1.0)
     return (arr * 255.0).round().astype(np.uint8)
+
+
+def resize_to_multiple(
+    image: np.ndarray,
+    multiple: int = 64,
+    max_side: int = 1536,
+    min_side: int = 768,
+    mode: str = "lanczos",
+) -> np.ndarray:
+    """Resize so the long side fits [min_side, max_side] and both dims are
+    multiples of ``multiple``.
+
+    Reference counterpart: the inpaint driver's resize_img, which rounds
+    working dims to x64 before masking/encoding (RepText/infer_inpaint.py:
+    25-46). uint8 [H, W, 3] in, uint8 out.
+    """
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    long_side = max(h, w)
+    scale = 1.0
+    if long_side > max_side:
+        scale = max_side / long_side
+    elif long_side < min_side:
+        scale = min_side / long_side
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    nh = max(multiple, round(nh / multiple) * multiple)
+    nw = max(multiple, round(nw / multiple) * multiple)
+    resample = Image.LANCZOS if mode == "lanczos" else Image.BILINEAR
+    return np.asarray(
+        Image.fromarray(image).resize((nw, nh), resample), dtype=np.uint8
+    )
