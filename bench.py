@@ -121,25 +121,28 @@ def main(verbose: bool = False):
         if verbose:
             print(msg, file=sys.stderr, flush=True)
 
+    import gc
+
+    def measure(label, builder):
+        """Build, time, then drop the model so HBM is freed between phases."""
+        log(f"building {label}...")
+        fn, x = builder()
+        log(f"timing {label}...")
+        t = timeit(fn, x)
+        log(f"{label} step: {t*1e3:.1f}ms")
+        del fn, x
+        gc.collect()
+        return t
+
     # measure base-only at two depths to get per-block costs + fixed overhead
-    log("building depth A...")
-    fn_a, x = build_step(MEAS_DOUBLE, MEAS_SINGLE, with_cn=False)
-    log("timing depth A...")
-    t_a = timeit(fn_a, x)
-    log(f"depth A step: {t_a*1e3:.1f}ms; building depth B...")
-    fn_b, x = build_step(2 * MEAS_DOUBLE, 2 * MEAS_SINGLE, with_cn=False)
-    log("timing depth B...")
-    t_b = timeit(fn_b, x)
-    log(f"depth B step: {t_b*1e3:.1f}ms; building CN variant...")
+    t_a = measure("depth A", lambda: build_step(MEAS_DOUBLE, MEAS_SINGLE, False))
+    t_b = measure("depth B", lambda: build_step(2 * MEAS_DOUBLE, 2 * MEAS_SINGLE, False))
     # t(depth) = overhead + depth_scale * k ; doubling depth doubles block time
     block_time = t_b - t_a                     # cost of (MEAS_DOUBLE, MEAS_SINGLE) blocks
     overhead = max(t_a - block_time, 0.0)
 
     # measured ControlNet marginal cost at its real depth
-    fn_cn, x = build_step(MEAS_DOUBLE, MEAS_SINGLE, with_cn=True)
-    log("timing CN variant...")
-    t_cn_step = timeit(fn_cn, x)
-    log(f"CN step: {t_cn_step*1e3:.1f}ms")
+    t_cn_step = measure("CN variant", lambda: build_step(MEAS_DOUBLE, MEAS_SINGLE, True))
     cn_cost = max(t_cn_step - t_a, 0.0)
 
     # VAE decode: once per image
@@ -147,6 +150,8 @@ def main(verbose: bool = False):
     fn_v, z = build_vae_decode()
     t_vae = timeit(fn_v, z, iters=5)
     log(f"VAE decode: {t_vae*1e3:.1f}ms")
+    del fn_v, z
+    gc.collect()
 
     # extrapolate base transformer to full depth (linear in depth, exact for
     # homogeneous blocks)

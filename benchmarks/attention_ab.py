@@ -1,0 +1,81 @@
+"""A/B benchmark: Pallas flash attention vs XLA einsum attention, model-level.
+
+Per-op microbenchmarks through the remote-TPU execution tunnel are dominated
+by dispatch artifacts, so this compares backends inside the real workload: a
+full-width FLUX forward step (depth 2+4, bf16) where each timing iteration is
+ONE device dispatch. Informs the 'auto' backend choice in
+reptext_tpu.ops.attention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def build(backend: str, lat: int):
+    from reptext_tpu.configs import FluxConfig
+    from reptext_tpu.models import FluxTransformer2D
+    from reptext_tpu.ops.latents import prepare_latent_image_ids
+
+    cfg = dataclasses.replace(FluxConfig(), num_layers=2, num_single_layers=4)
+    model = FluxTransformer2D(
+        cfg, attention_backend=backend, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16
+    )
+    b, s_txt = 1, 512
+    s_img = (lat // 2) ** 2
+    rng = jax.random.PRNGKey(0)
+    hidden = jax.random.normal(rng, (b, s_img, 64), jnp.bfloat16)
+    ctx = jax.random.normal(rng, (b, s_txt, 4096), jnp.bfloat16)
+    pooled = jax.random.normal(rng, (b, 768), jnp.bfloat16)
+    t = jnp.full((b,), 0.5, jnp.bfloat16)
+    img_ids = prepare_latent_image_ids(lat, lat)
+    txt_ids = jnp.zeros((s_txt, 3))
+    guidance = jnp.full((b,), 3.5, jnp.bfloat16)
+    params = jax.jit(model.init)(rng, hidden, ctx, pooled, t, img_ids, txt_ids, guidance)
+
+    def fn(p, h):
+        return model.apply(p, h, ctx, pooled, t, img_ids, txt_ids, guidance)
+
+    jfn = jax.jit(fn)
+    return (lambda: jfn(params, hidden))
+
+
+def timeit(fn, iters=10):
+    jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import gc
+
+    print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
+    for lat in (64, 128, 192):  # 512^2, 1024^2, 1536^2 images
+        row = {}
+        for backend in ("xla", "pallas"):
+            fn = build(backend, lat)
+            row[backend] = timeit(fn)
+            del fn
+            gc.collect()
+        s = 512 + (lat // 2) ** 2
+        print(
+            f"joint_seq={s:5d}: xla {row['xla']*1e3:7.2f}ms  "
+            f"pallas {row['pallas']*1e3:7.2f}ms  "
+            f"speedup {row['xla']/row['pallas']:.3f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Above this joint length the single-pass kernel's [block_q, S] logits tile
+# no longer fits VMEM alongside whole K/V; switch to the streaming kernel.
+_SINGLE_PASS_MAX_SEQ = 6144
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
     q = q_ref[0, 0]  # [block_q, D]
     k = k_ref[0, 0]  # [S_pad, D]
@@ -59,6 +64,96 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
     ).astype(o_ref.dtype)
 
 
+def _streaming_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                      *, valid_len: int, scale: float, block_kv: int):
+    """Online-softmax flash attention: kv chunks stream through VMEM.
+
+    Grid (B, H, q_blocks, kv_blocks) with kv innermost; scratch (running max,
+    normalizer, fp32 accumulator) persists across the kv dimension.
+    """
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]            # [block_q, D]
+    k = k_ref[0, 0]            # [block_kv, D]
+    v = v_ref[0, 0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                   # [block_q, block_kv]
+
+    first_invalid = valid_len - kv_idx * block_kv
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < first_invalid, logits, -jnp.inf)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _streaming_flash(q, k, v, block_q, block_kv, interpret):
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    s_pad = _round_up(_round_up(s, block_q), block_kv)
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    grid = (b, h, s_pad // block_q, s_pad // block_kv)
+    kernel = functools.partial(
+        _streaming_kernel, valid_len=s, scale=scale, block_kv=block_kv
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * s_pad * s_pad * d,
+            bytes_accessed=4 * b * h * s_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if s_pad != s:
+        out = out[:, :, :s, :]
+    return out
+
+
 def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
@@ -68,9 +163,13 @@ def _flash_attention_impl(
 ) -> jax.Array:
     """Full (non-causal) MHA: [B, H, S, D] x3 -> [B, H, S, D].
 
+    Single-pass kernel (whole K/V VMEM-resident) at FLUX-native lengths;
+    streaming online-softmax kernel beyond ~6k tokens (>=1536^2 images).
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
     b, h, s, d = q.shape
+    if s > _SINGLE_PASS_MAX_SEQ:
+        return _streaming_flash(q, k, v, block_q, 512, interpret)
     scale = 1.0 / math.sqrt(d)
 
     s_pad = _round_up(s, 128)

@@ -57,6 +57,22 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-3, atol=1e-3)
 
 
+def test_streaming_flash_matches_xla():
+    from reptext_tpu.ops.flash_attention import _streaming_flash
+    q, k, v = _qkv(b=1, h=2, s=200, d=32, seed=21)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(_streaming_flash(q, k, v, block_q=128, block_kv=128,
+                                      interpret=True))
+    assert got.shape == (1, 2, 200, 32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_dispatch_threshold():
+    # the impl must route long sequences to the streaming kernel
+    from reptext_tpu.ops import flash_attention as fa
+    assert fa._SINGLE_PASS_MAX_SEQ < 9216
+
+
 def test_flash_bf16():
     q, k, v = _qkv(b=1, h=1, s=128, d=32, seed=9, dtype=jnp.bfloat16)
     want = np.asarray(xla_attention(q, k, v)).astype(np.float32)
