@@ -57,13 +57,13 @@ def build_step(num_double: int, num_single: int, with_cn: bool):
     guidance = jnp.full((b,), 3.5, jnp.bfloat16)
     params = jax.jit(model.init)(rng, hidden, ctx, pooled, t, img_ids, txt_ids, guidance)
 
-    # params MUST be jit arguments: closure-captured params are baked into the
-    # program as constants (gigabytes shipped to the compiler).
+    # params MUST be threaded as arguments all the way into the timing jit:
+    # closure capture bakes them into the program as constants (gigabytes
+    # shipped to the compiler).
     if not with_cn:
         def fn(p, h):
             return model.apply(p, h, ctx, pooled, t, img_ids, txt_ids, guidance)
-        jfn = jax.jit(fn)
-        return (lambda h: jfn(params, h)), hidden
+        return fn, params, hidden
 
     cn_cfg = dataclasses.replace(
         ControlNetConfig(), num_layers=CN_DOUBLE, num_single_layers=CN_SINGLE
@@ -74,16 +74,15 @@ def build_step(num_double: int, num_single: int, with_cn: bool):
         rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids, guidance
     )
 
-    def fn(p, cp, h):
+    def fn(p, h):
         block, single = cn.apply(
-            cp, h, cond, ctx, pooled, t, img_ids, txt_ids, guidance
+            p["cn"], h, cond, ctx, pooled, t, img_ids, txt_ids, guidance
         )
         return model.apply(
-            p, h, ctx, pooled, t, img_ids, txt_ids, guidance,
+            p["base"], h, ctx, pooled, t, img_ids, txt_ids, guidance,
             controlnet_block_samples=block, controlnet_single_block_samples=single,
         )
-    jfn = jax.jit(fn)
-    return (lambda h: jfn(params, cn_params, h)), hidden
+    return fn, {"base": params, "cn": cn_params}, hidden
 
 
 def build_vae_decode():
@@ -100,17 +99,38 @@ def build_vae_decode():
     def fn(p, z):
         return vae.apply(p, z, method="decode")
 
+    return fn, params, z
+
+
+def timeit(fn, params, x, iters=10, chain=True):
+    """Time ``fn(params, x)`` with an in-graph data-dependent chain + scalar fetch.
+
+    The remote-TPU execution tunnel acks dispatches (and block_until_ready)
+    before real completion and content-caches identical requests, so honest
+    timing requires (a) each iteration's input to depend on the previous
+    output, inside ONE compiled program, and (b) fetching a scalar reduction
+    to force execution. ``chain=False`` falls back to repeated dispatch for
+    outputs whose shape differs from the input.
+    """
+    if chain:
+        def chained(p, h):
+            def body(i, hh):
+                return fn(p, hh).astype(h.dtype)
+            out = jax.lax.fori_loop(0, iters, body, h)
+            return jnp.sum(out.astype(jnp.float32))
+        jc = jax.jit(chained)
+        float(jc(params, x))  # compile + first run
+        start = time.perf_counter()
+        float(jc(params, x))
+        return (time.perf_counter() - start) / iters
+
     jfn = jax.jit(fn)
-    return (lambda z: jfn(params, z)), z
-
-
-def timeit(fn, x, iters=10):
-    out = fn(x)
-    jax.block_until_ready(out)
+    out = jfn(params, x)
+    float(jnp.sum(out.astype(jnp.float32)))
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
+        out = jfn(params, x)
+    float(jnp.sum(out.astype(jnp.float32)))
     return (time.perf_counter() - start) / iters
 
 
@@ -126,11 +146,11 @@ def main(verbose: bool = False):
     def measure(label, builder):
         """Build, time, then drop the model so HBM is freed between phases."""
         log(f"building {label}...")
-        fn, x = builder()
+        fn, params, x = builder()
         log(f"timing {label}...")
-        t = timeit(fn, x)
+        t = timeit(fn, params, x)
         log(f"{label} step: {t*1e3:.1f}ms")
-        del fn, x
+        del fn, params, x
         gc.collect()
         return t
 
@@ -145,12 +165,12 @@ def main(verbose: bool = False):
     t_cn_step = measure("CN variant", lambda: build_step(MEAS_DOUBLE, MEAS_SINGLE, True))
     cn_cost = max(t_cn_step - t_a, 0.0)
 
-    # VAE decode: once per image
+    # VAE decode: once per image (output shape != input: unchained timing)
     log("building VAE decode...")
-    fn_v, z = build_vae_decode()
-    t_vae = timeit(fn_v, z, iters=5)
+    fn_v, p_v, z = build_vae_decode()
+    t_vae = timeit(fn_v, p_v, z, iters=5, chain=False)
     log(f"VAE decode: {t_vae*1e3:.1f}ms")
-    del fn_v, z
+    del fn_v, p_v, z
     gc.collect()
 
     # extrapolate base transformer to full depth (linear in depth, exact for

@@ -44,16 +44,19 @@ def build(backend: str, lat: int):
     def fn(p, h):
         return model.apply(p, h, ctx, pooled, t, img_ids, txt_ids, guidance)
 
-    jfn = jax.jit(fn)
-    return (lambda: jfn(params, hidden))
+    return fn, params, hidden
 
 
-def timeit(fn, iters=10):
-    jax.block_until_ready(fn())
+def timeit(fn, params, hidden, iters=10):
+    """In-graph chained timing + scalar fetch (the execution tunnel acks
+    un-fetched dispatches early; see bench.py timeit)."""
+    def chained(p, h):
+        out = jax.lax.fori_loop(0, iters, lambda i, hh: fn(p, hh).astype(h.dtype), h)
+        return jnp.sum(out.astype(jnp.float32))
+    jc = jax.jit(chained)
+    float(jc(params, hidden))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+    float(jc(params, hidden))
     return (time.perf_counter() - t0) / iters
 
 
@@ -64,9 +67,9 @@ def main():
     for lat in (64, 128, 192):  # 512^2, 1024^2, 1536^2 images
         row = {}
         for backend in ("xla", "pallas"):
-            fn = build(backend, lat)
-            row[backend] = timeit(fn)
-            del fn
+            fn, params, hidden = build(backend, lat)
+            row[backend] = timeit(fn, params, hidden)
+            del fn, params, hidden
             gc.collect()
         s = 512 + (lat // 2) ** 2
         print(

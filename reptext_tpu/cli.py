@@ -58,6 +58,14 @@ def main(argv=None) -> int:
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output", default="results/result.png")
+    parser.add_argument("--mode", choices=["txt2img", "inpaint"], default="txt2img")
+    parser.add_argument("--image", default=None,
+                        help="inpaint: input image path (resized to x64 dims)")
+    parser.add_argument("--mask", default=None,
+                        help="inpaint: white-on-black mask image path")
+    parser.add_argument("--negative-prompt", default=None,
+                        help="inpaint: CFG negative prompt (default: reference's)")
+    parser.add_argument("--true-guidance-scale", type=float, default=1.0)
     parser.add_argument("--checkpoint-dir", default=None,
                         help="directory with converted orbax/safetensors weights")
     parser.add_argument("--random-weights", action="store_true",
@@ -82,11 +90,30 @@ def main(argv=None) -> int:
     from reptext_tpu.conditioning import TextLine, build_conditions
     from reptext_tpu.pipelines import FluxRepTextPipeline
 
+    inpaint = args.mode == "inpaint"
+    if inpaint and (args.image is None or args.mask is None):
+        parser.error("--mode inpaint requires --image and --mask")
+
+    height = width = args.size
+    image_arr = mask_arr = None
+    if inpaint:
+        from PIL import Image as PILImage
+
+        from reptext_tpu.utils.image import resize_to_multiple
+
+        image_arr = resize_to_multiple(
+            np.asarray(PILImage.open(args.image).convert("RGB"), np.uint8)
+        )
+        height, width = image_arr.shape[:2]
+        mask_img = PILImage.open(args.mask).convert("L").resize((width, height))
+        mask_arr = np.asarray(mask_img, np.uint8)
+
     pipe_cfg = PipelineConfig(
-        height=args.size, width=args.size, num_inference_steps=args.steps,
+        height=height, width=width, num_inference_steps=args.steps,
         guidance_scale=args.guidance_scale,
         controlnet_conditioning_scale=args.controlnet_scale,
         controlnet_conditioning_step=args.controlnet_step,
+        true_guidance_scale=args.true_guidance_scale,
     )
     if args.tiny:
         flux_cfg, cn_cfg = FluxConfig().tiny(), ControlNetConfig().tiny()
@@ -102,19 +129,28 @@ def main(argv=None) -> int:
     elif not args.random_weights:
         parser.error("pass --checkpoint-dir or --random-weights")
 
-    pipeline = FluxRepTextPipeline.create(
+    dtype = jnp.bfloat16 if not args.tiny else jnp.float32
+    create_kwargs = dict(
         flux_cfg=flux_cfg, cn_cfg=cn_cfg, vae_cfg=vae_cfg, pipe_cfg=pipe_cfg,
         params=params, clip_cfg=clip_cfg, t5_cfg=t5_cfg,
-        compute_dtype=jnp.bfloat16 if not args.tiny else jnp.float32,
-        param_dtype=jnp.bfloat16 if not args.tiny else jnp.float32,
+        compute_dtype=dtype, param_dtype=dtype,
     )
+    if inpaint:
+        from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
+        import dataclasses as _dc
+        inpaint_cn_cfg = _dc.replace(cn_cfg, extra_condition_channels=4)
+        pipeline = FluxRepTextInpaintPipeline.create_inpaint(
+            inpaint_cn_cfg=inpaint_cn_cfg, **create_kwargs
+        )
+    else:
+        pipeline = FluxRepTextPipeline.create(**create_kwargs)
 
     lines = [
         TextLine(t, tuple(p), tuple(c), font_size=args.font_size)
         for t, p, c in zip(args.text, args.position, colors)
     ]
     conditions = build_conditions(
-        lines, args.size, args.size, font_path=args.font,
+        lines, width, height, font_path=args.font,
         font_size=args.font_size, shape_text=not args.no_shape,
     )
 
@@ -124,9 +160,21 @@ def main(argv=None) -> int:
     # Tokenize: local tokenizer files if available, else deterministic hash ids
     clip_ids, t5_ids = _tokenize(prompt, clip_cfg, t5_cfg, args.checkpoint_dir)
 
-    images = pipeline(
-        conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=args.seed,
-    )
+    if inpaint:
+        from reptext_tpu.pipelines import DEFAULT_NEGATIVE_PROMPT
+
+        neg = args.negative_prompt or DEFAULT_NEGATIVE_PROMPT
+        neg_clip, neg_t5 = _tokenize(neg, clip_cfg, t5_cfg, args.checkpoint_dir)
+        images = pipeline(
+            conditions, image=image_arr, mask=mask_arr,
+            clip_ids=clip_ids, t5_ids=t5_ids,
+            negative_clip_ids=neg_clip, negative_t5_ids=neg_t5,
+            seed=args.seed,
+        )
+    else:
+        images = pipeline(
+            conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=args.seed,
+        )
 
     from PIL import Image
 

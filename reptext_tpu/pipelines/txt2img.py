@@ -146,6 +146,35 @@ class FluxRepTextPipeline:
             params["t5"] = t5.init(k_t5, jnp.zeros((1, 16), jnp.int32))
         return params
 
+    # -------------------------------------------------------------- sharding
+
+    def shard_for_inference(self, mesh=None) -> "FluxRepTextPipeline":
+        """Shard transformer/ControlNet params over a (dp, tp) mesh.
+
+        After this, the already-jitted samplers run tensor-parallel: XLA
+        propagates the NamedSharding of the param arguments through the whole
+        fused sampling graph and inserts the block all-reduces (parallel/
+        partition.py rules). VAE/text-encoder params are replicated (small).
+        Returns self.
+        """
+        from reptext_tpu.parallel import make_mesh, shard_params
+
+        if mesh is None:
+            mesh = make_mesh()
+        self.mesh = mesh
+        for name in ("flux", "controlnet", "inpaint_controlnet"):
+            if name in self.params:
+                self.params[name] = shard_params(self.params[name], mesh)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        for name in ("vae", "clip", "t5"):
+            if name in self.params:
+                self.params[name] = jax.device_put(
+                    self.params[name], NamedSharding(mesh, P())
+                )
+        return self
+
     # ------------------------------------------------------------- encoders
 
     def encode_prompt(

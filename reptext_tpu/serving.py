@@ -58,6 +58,22 @@ class GenerationWorker:
         self._thread.start()
         return self
 
+    def warmup(self, text: str = "Hi", position=(16, 16)) -> float:
+        """Compile all generation graphs with a dummy request; returns seconds.
+
+        Call before accepting traffic so the first real request doesn't pay
+        multi-minute XLA compiles.
+        """
+        req = GenerationRequest(
+            prompt="warmup", lines=[{"text": text, "position": list(position)}]
+        )
+        t0 = time.time()
+        self.submit(req)
+        req._done.wait()
+        if req._error:
+            raise RuntimeError(f"warmup failed: {req._error}")
+        return time.time() - t0
+
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=30)
@@ -175,8 +191,11 @@ class GenerationServer:
     """HTTP front over a GenerationWorker. ``serve_forever`` blocks."""
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8470,
-                 tokenizer=None, request_timeout_s: float = 600.0):
+                 tokenizer=None, request_timeout_s: float = 600.0,
+                 warmup: bool = False):
         self.worker = GenerationWorker(pipeline, tokenizer).start()
+        if warmup:
+            self.worker.warmup()
         self.httpd = ThreadingHTTPServer(
             (host, port), _make_handler(self.worker, request_timeout_s)
         )
