@@ -29,12 +29,24 @@ def canny_edges(
     img: np.ndarray,
     low_threshold: float = 50.0,
     high_threshold: float = 100.0,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Binary edge map (uint8 {0,255}) of a grayscale or RGB uint8 image.
 
     For multi-channel input the per-pixel gradient is taken from the channel
     with the largest L1 magnitude (OpenCV's multi-channel behavior).
+
+    ``backend``: 'auto' uses the native C++ implementation
+    (reptext_tpu/native/canny.cpp) when a toolchain is available — ~10x the
+    numpy path, relevant at serving QPS — else 'numpy'. Both produce identical
+    output (tested).
     """
+    if backend in ("auto", "native"):
+        out = _canny_native(img, low_threshold, high_threshold)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native canny unavailable (no toolchain?)")
     img = np.asarray(img, dtype=np.float32)
     if img.ndim == 3:
         gxs, gys = zip(*(_sobel(img[..., c]) for c in range(img.shape[-1])))
@@ -80,6 +92,27 @@ def canny_edges(
     keep_labels = np.unique(labels[strong & (labels > 0)])
     edges = np.isin(labels, keep_labels) & (labels > 0)
     return (edges * 255).astype(np.uint8)
+
+
+def _canny_native(img: np.ndarray, low: float, high: float):
+    """C++ path; returns None when the native library can't be built/loaded."""
+    from reptext_tpu.native import ensure_built
+
+    lib = ensure_built()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        c = 1
+    else:
+        h, w, c = arr.shape
+    out = np.empty((h, w), dtype=np.uint8)
+    lib.canny_u8(
+        arr.ctypes.data, int(h), int(w), int(c), float(low), float(high),
+        out.ctypes.data,
+    )
+    return out
 
 
 def inverted_canny_rgb(
