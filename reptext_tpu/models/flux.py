@@ -154,7 +154,7 @@ class FluxTransformer2D(nn.Module):
 
         DoubleScan = nn.scan(
             _DoubleLayer,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_layers,
             in_axes=0,
@@ -173,7 +173,7 @@ class FluxTransformer2D(nn.Module):
 
         SingleScan = nn.scan(
             _SingleLayer,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_single_layers,
             in_axes=0,
