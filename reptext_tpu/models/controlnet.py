@@ -101,6 +101,8 @@ class RepTextControlNet(nn.Module):
     attention_backend: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # gradient checkpointing (reference: RepText/controlnet_flux.py:321-340)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -152,8 +154,10 @@ class RepTextControlNet(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         cos, sin = rope_cos_sin(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
+        double_layer = (nn.remat(_ControlDoubleLayer, prevent_cse=False)
+                        if self.remat else _ControlDoubleLayer)
         DoubleScan = nn.scan(
-            _ControlDoubleLayer,
+            double_layer,
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_layers,
@@ -171,8 +175,10 @@ class RepTextControlNet(nn.Module):
         joint = jnp.concatenate([ctx, x], axis=1)
         txt_len = ctx.shape[1]
 
+        single_layer = (nn.remat(_ControlSingleLayer, prevent_cse=False)
+                        if self.remat else _ControlSingleLayer)
         SingleScan = nn.scan(
-            _ControlSingleLayer,
+            single_layer,
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_single_layers,
@@ -190,3 +196,52 @@ class RepTextControlNet(nn.Module):
 
         scale = jnp.asarray(conditioning_scale, dtype=block_samples.dtype)
         return block_samples * scale, single_block_samples * scale
+
+
+def params_from_transformer(
+    flux_params: Any,
+    cn_params_template: Any,
+    num_layers: int,
+    num_single_layers: int,
+) -> Any:
+    """Initialize ControlNet params from base-transformer params (weight surgery).
+
+    Reference: ``FluxControlNetModel.from_transformer``
+    (RepText/controlnet_flux.py:182-214) — copy embedders and the first N
+    double / M single blocks from the base model; the zero-initialised
+    residual heads and conditioning embedder stay at zero (so the fresh
+    ControlNet is a no-op until trained). With scanned params this is a
+    leading-axis slice.
+
+    Args:
+      flux_params: base FluxTransformer2D param tree ({"params": ...}).
+      cn_params_template: a freshly-initialised RepTextControlNet tree (gives
+        the zero heads + controlnet_x_embedder and the exact structure).
+      num_layers/num_single_layers: ControlNet depth (must be <= base depth).
+    """
+    import jax
+
+    fp = flux_params["params"]
+    base_layers = fp["double_blocks"]["block"]["to_q"]["kernel"].shape[0]
+    base_singles = fp["single_blocks"]["block"]["to_q"]["kernel"].shape[0]
+    if num_layers > base_layers or num_single_layers > base_singles:
+        raise ValueError(
+            f"ControlNet depth ({num_layers} double, {num_single_layers} single) "
+            f"exceeds base transformer depth ({base_layers}, {base_singles})"
+        )
+    cn = jax.tree_util.tree_map(lambda x: x, cn_params_template)
+    cp = cn["params"] if "params" in cn else cn
+
+    for name in ("x_embedder", "context_embedder", "time_text_embed"):
+        cp[name] = fp[name]
+
+    def slice_layers(tree, n):
+        return jax.tree_util.tree_map(lambda x: x[:n], tree)
+
+    cp["double_blocks"]["block"] = slice_layers(
+        fp["double_blocks"]["block"], num_layers
+    )
+    cp["single_blocks"]["block"] = slice_layers(
+        fp["single_blocks"]["block"], num_single_layers
+    )
+    return cn

@@ -110,6 +110,10 @@ class FluxTransformer2D(nn.Module):
     attention_backend: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # rematerialize block activations in the backward pass (training memory;
+    # the reference ControlNet's gradient checkpointing equivalent,
+    # RepText/controlnet_flux.py:321-340)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -152,8 +156,9 @@ class FluxTransformer2D(nn.Module):
                 controlnet_single_block_samples, cfg.num_single_layers
             )
 
+        double_layer = nn.remat(_DoubleLayer, prevent_cse=False) if self.remat else _DoubleLayer
         DoubleScan = nn.scan(
-            _DoubleLayer,
+            double_layer,
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_layers,
@@ -171,8 +176,9 @@ class FluxTransformer2D(nn.Module):
         joint = jnp.concatenate([ctx, x], axis=1)
         txt_len = encoder_hidden_states.shape[1]
 
+        single_layer = nn.remat(_SingleLayer, prevent_cse=False) if self.remat else _SingleLayer
         SingleScan = nn.scan(
-            _SingleLayer,
+            single_layer,
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_single_layers,
