@@ -1,0 +1,106 @@
+"""Mesh/sharding scenarios, run as __main__ on a real 8-device CPU backend.
+
+Executed by tests/test_parallel.py via reptext_tpu.parallel.testing
+(subprocess with the remote-TPU tunnel env scrubbed), because the tunnel's
+sitecustomize defeats in-process platform selection. Covers SURVEY.md §2.3:
+mesh construction, Megatron-style TP param rules, DP batch sharding, and
+sharded-forward == single-device parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from reptext_tpu.configs import FluxConfig
+from reptext_tpu.models import FluxTransformer2D
+from reptext_tpu.ops.latents import prepare_latent_image_ids
+from reptext_tpu.parallel import make_mesh, param_shardings, shard_batch, shard_params
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+CFG = FluxConfig().tiny()  # 4 heads: supports tp in {1, 2, 4}
+
+
+def _inputs(b=2):
+    r = np.random.default_rng(0)
+    return dict(
+        hidden_states=jnp.asarray(r.standard_normal((b, 16, CFG.in_channels)), jnp.float32),
+        encoder_hidden_states=jnp.asarray(
+            r.standard_normal((b, 4, CFG.joint_attention_dim)), jnp.float32),
+        pooled_projections=jnp.asarray(
+            r.standard_normal((b, CFG.pooled_projection_dim)), jnp.float32),
+        timestep=jnp.full((b,), 0.5),
+        img_ids=prepare_latent_image_ids(8, 8),
+        txt_ids=jnp.zeros((4, 3)),
+        guidance=jnp.full((b,), 3.5),
+    )
+
+
+def check_mesh_shapes():
+    mesh = make_mesh(dp=2, tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    mesh_default = make_mesh()
+    assert mesh_default.shape == {"dp": 1, "tp": 8}
+    try:
+        make_mesh(dp=3, tp=3)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("make_mesh(dp=3, tp=3) should raise on 8 devices")
+    print("mesh shapes OK")
+
+
+def check_param_sharding_rules(params):
+    mesh = make_mesh(dp=2, tp=4)
+    shardings = param_shardings(params, mesh)
+    p = shardings["params"]
+    # qkv: column-parallel on last axis (scanned: [L, in, out])
+    assert p["double_blocks"]["block"]["to_q"]["kernel"].spec == P(None, None, "tp")
+    # out proj: row-parallel
+    assert p["double_blocks"]["block"]["to_out"]["kernel"].spec == P(None, "tp", None)
+    assert p["double_blocks"]["block"]["ff"]["in_proj"]["kernel"].spec == P(None, None, "tp")
+    assert p["double_blocks"]["block"]["ff"]["out_proj"]["kernel"].spec == P(None, "tp", None)
+    assert p["single_blocks"]["block"]["proj_out"]["kernel"].spec == P(None, "tp", None)
+    # embedders + biases replicated
+    assert p["x_embedder"]["kernel"].spec == P()
+    assert p["double_blocks"]["block"]["to_q"]["bias"].spec == P()
+    print("param sharding rules OK")
+
+
+def check_batch_sharding():
+    mesh = make_mesh(dp=4, tp=2)
+    batch = {"x": jnp.zeros((8, 16, 4)), "scalar": jnp.zeros(())}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == P("dp", None, None)
+    assert sharded["scalar"].sharding.spec == P()
+    print("batch sharding OK")
+
+
+def check_sharded_forward_parity(model, params, inputs):
+    want = np.asarray(model.apply(params, **inputs))
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = shard_params(params, mesh)
+    fn = jax.jit(lambda p, h: model.apply(
+        p, h, inputs["encoder_hidden_states"], inputs["pooled_projections"],
+        inputs["timestep"], inputs["img_ids"], inputs["txt_ids"], inputs["guidance"]))
+    got = np.asarray(fn(sharded, inputs["hidden_states"]))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    print("sharded forward parity OK")
+
+
+def main():
+    assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8, (
+        jax.default_backend(), len(jax.devices()))
+    check_mesh_shapes()
+    check_batch_sharding()
+    model = FluxTransformer2D(CFG)
+    inputs = _inputs()
+    params = model.init(jax.random.PRNGKey(0), **inputs)
+    check_param_sharding_rules(params)
+    check_sharded_forward_parity(model, params, inputs)
+    print("ALL MESH SCENARIOS OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,80 +1,45 @@
-"""Mesh + sharding tests on the virtual 8-device CPU mesh."""
+"""Mesh + sharding tests (SURVEY.md §2.3).
+
+The sharding layer needs >=8 devices; this environment exposes 1 remote TPU
+chip and a sitecustomize that defeats in-process platform overrides. When the
+live backend can't host the mesh, the scenarios run in a scrubbed-env
+subprocess with a real 8-device virtual CPU backend
+(reptext_tpu/parallel/testing.py) — green here, not skipped.
+"""
+
+import os
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 import pytest
-from jax.sharding import PartitionSpec as P
-
-from reptext_tpu.configs import FluxConfig
-from reptext_tpu.models import FluxTransformer2D
-from reptext_tpu.ops.latents import prepare_latent_image_ids
-from reptext_tpu.parallel import make_mesh, param_shardings, shard_params
-
-CFG = FluxConfig().tiny()  # 4 heads: supports tp in {1, 2, 4}
-
-# These tests need the virtual 8-device CPU mesh (conftest requests it via
-# jax_num_cpu_devices). Some environments (e.g. a remote-TPU tunnel that
-# overrides platform selection) expose only 1 device — skip there; the
-# driver's dryrun harness provides the real multi-device check.
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="requires 8 virtual devices"
-)
 
 
-def _inputs(b=2):
-    r = np.random.default_rng(0)
-    return dict(
-        hidden_states=jnp.asarray(r.standard_normal((b, 16, CFG.in_channels)), jnp.float32),
-        encoder_hidden_states=jnp.asarray(
-            r.standard_normal((b, 4, CFG.joint_attention_dim)), jnp.float32),
-        pooled_projections=jnp.asarray(
-            r.standard_normal((b, CFG.pooled_projection_dim)), jnp.float32),
-        timestep=jnp.full((b,), 0.5),
-        img_ids=prepare_latent_image_ids(8, 8),
-        txt_ids=jnp.zeros((4, 3)),
-        guidance=jnp.full((b,), 3.5),
+def test_mesh_scenarios():
+    if jax.default_backend() == "cpu" and len(jax.devices()) >= 8:
+        import mesh_scenarios
+
+        mesh_scenarios.main()
+        return
+
+    from reptext_tpu.parallel.testing import run_in_cpu_mesh
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mesh_scenarios.py")
+    out = run_in_cpu_mesh(
+        f"import runpy; runpy.run_path({script!r}, run_name='__main__')"
     )
+    assert "ALL MESH SCENARIOS OK" in out, out
 
 
-def test_mesh_shapes():
-    mesh = make_mesh(dp=2, tp=4)
-    assert mesh.shape == {"dp": 2, "tp": 4}
-    mesh_default = make_mesh()
-    assert mesh_default.shape == {"dp": 1, "tp": 8}
-    with pytest.raises(ValueError):
-        make_mesh(dp=3, tp=3)
+def test_make_mesh_validates_factorization():
+    # Host-side validation logic; no multi-device backend needed.
+    import numpy as np
 
+    from reptext_tpu.parallel import make_mesh
 
-def test_param_sharding_rules():
-    model = FluxTransformer2D(CFG)
-    params = model.init(jax.random.PRNGKey(0), **_inputs())
-    mesh = make_mesh(dp=2, tp=4)
-    shardings = param_shardings(params, mesh)
-    p = shardings["params"]
-    # qkv: column-parallel on last axis (scanned: [L, in, out])
-    assert p["double_blocks"]["block"]["to_q"]["kernel"].spec == P(None, None, "tp")
-    # out proj: row-parallel
-    assert p["double_blocks"]["block"]["to_out"]["kernel"].spec == P(None, "tp", None)
-    assert p["double_blocks"]["block"]["ff"]["in_proj"]["kernel"].spec == P(None, None, "tp")
-    assert p["double_blocks"]["block"]["ff"]["out_proj"]["kernel"].spec == P(None, "tp", None)
-    assert p["single_blocks"]["block"]["proj_out"]["kernel"].spec == P(None, "tp", None)
-    # embedders replicated
-    assert p["x_embedder"]["kernel"].spec == P()
-    # biases replicated
-    assert p["double_blocks"]["block"]["to_q"]["bias"].spec == P()
-
-
-def test_sharded_forward_matches_single_device():
-    model = FluxTransformer2D(CFG)
-    inputs = _inputs()
-    params = model.init(jax.random.PRNGKey(0), **inputs)
-    want = np.asarray(model.apply(params, **inputs))
-
-    mesh = make_mesh(dp=2, tp=4)
-    sharded = shard_params(params, mesh)
-    fn = jax.jit(lambda p, h: model.apply(
-        p, h, inputs["encoder_hidden_states"], inputs["pooled_projections"],
-        inputs["timestep"], inputs["img_ids"], inputs["txt_ids"], inputs["guidance"]))
-    got = np.asarray(fn(sharded, inputs["hidden_states"]))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    devs = jax.devices()
+    if len(devs) == 1:
+        with pytest.raises(ValueError):
+            make_mesh(dp=2, tp=3, devices=list(devs))
+        mesh = make_mesh(devices=list(devs))
+        assert mesh.shape == {"dp": 1, "tp": 1}
+    else:
+        assert np.prod(list(make_mesh(devices=list(devs)).shape.values())) == len(devs)
