@@ -1,4 +1,4 @@
-"""Device mesh construction and sharding rules (dp x tp over ICI)."""
+"""Device mesh construction and sharding rules (dp x tp x sp over ICI)."""
 
 from reptext_tpu.parallel.mesh import make_mesh  # noqa: F401
 from reptext_tpu.parallel.partition import (  # noqa: F401
@@ -6,4 +6,10 @@ from reptext_tpu.parallel.partition import (  # noqa: F401
     param_shardings,
     shard_params,
     shard_batch,
+)
+from reptext_tpu.parallel.sequence import (  # noqa: F401
+    allgather_attention,
+    make_sp_mesh,
+    ring_attention,
+    sequence_sharded_attention,
 )

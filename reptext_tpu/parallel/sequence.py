@@ -1,0 +1,154 @@
+"""Sequence/context parallelism: shard the token axis, exchange K/V blocks.
+
+The reference has no sequence scaling at all (SURVEY.md §2.3/§5 — sequence
+length is bounded by design at 4096 image tokens); this module is the
+green-field TPU-native long-context path for >=2048^2 resolutions, where the
+joint [text; image] sequence no longer fits one chip's HBM comfortably.
+
+Two interchangeable implementations over a named mesh axis (default ``"sp"``):
+
+- ``allgather``: K/V all-gathered once per attention; simple, one collective,
+  right choice while K/V still fit per-chip (XLA overlaps the gather with the
+  first matmul).
+- ``ring``: K/V blocks rotate around the ring via ``lax.ppermute`` with an
+  online-softmax accumulator (flash-attention statistics), so per-chip K/V
+  memory stays O(S/n) and transfers ride neighbor ICI links. This is the
+  collective-level ring; the Pallas-RDMA fused variant can slot in underneath
+  without changing this interface.
+
+Both are expressed with ``jax.shard_map`` so they compose with the dp/tp
+sharding rules (reptext_tpu/parallel/partition.py): heads can stay tp-sharded
+while tokens shard over sp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _online_softmax_block(
+    q32: jax.Array,           # [B, H, Sq, D] fp32
+    k_blk: jax.Array,         # [B, H, Sk, D]
+    v_blk: jax.Array,         # [B, H, Sk, D]
+    o: jax.Array,             # [B, H, Sq, D] fp32 accumulator
+    m: jax.Array,             # [B, H, Sq] running max
+    l: jax.Array,             # [B, H, Sq] running denominator
+    scale: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One flash-attention statistics update against a K/V block."""
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q32, k_blk.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m_new = jnp.maximum(m, logits.max(axis=-1))
+    correction = jnp.exp(m - m_new)
+    p = jnp.exp(logits - m_new[..., None])
+    l_new = l * correction + p.sum(axis=-1)
+    o_new = o * correction[..., None] + jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return o_new, m_new, l_new
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Full (non-causal) attention with Q/K/V sharded on the token axis.
+
+    q/k/v: [B, H, S, D] global shapes, S divisible by mesh.shape[axis_name].
+    Each device holds one Q block; K/V blocks rotate around the sp ring with
+    ``ppermute`` while online-softmax statistics accumulate, so the result is
+    bit-for-bit an attention over the full sequence.
+    """
+    n = mesh.shape[axis_name]
+    spec = P(None, None, axis_name, None)
+
+    def local(q_l: jax.Array, k_l: jax.Array, v_l: jax.Array) -> jax.Array:
+        scale = 1.0 / (q_l.shape[-1] ** 0.5)
+        q32 = q_l.astype(jnp.float32)
+        b, h, sq, d = q_l.shape
+        perm = [(j, (j + 1) % n) for j in range(n)]
+
+        def body(_, carry):
+            o, m, l, k_cur, v_cur = carry
+            o, m, l = _online_softmax_block(q32, k_cur, v_cur, o, m, l, scale)
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+            return o, m, l, k_nxt, v_nxt
+
+        # pvary: constant-initialized carries must be marked sp-varying to
+        # match the loop outputs under shard_map's varying-axis type system.
+        o0 = jax.lax.pvary(jnp.zeros((b, h, sq, d), jnp.float32), axis_name)
+        m0 = jax.lax.pvary(jnp.full((b, h, sq), -jnp.inf, jnp.float32), axis_name)
+        l0 = jax.lax.pvary(jnp.zeros((b, h, sq), jnp.float32), axis_name)
+        o, _, l, _, _ = jax.lax.fori_loop(0, n, body, (o0, m0, l0, k_l, v_l))
+        return (o / l[..., None]).astype(q_l.dtype)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
+
+
+def allgather_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "sp",
+) -> jax.Array:
+    """SP attention that all-gathers K/V once (the simple fallback).
+
+    Same sharded interface as :func:`ring_attention`; per-chip K/V memory is
+    O(S) but there is exactly one fused all-gather per call.
+    """
+    spec = P(None, None, axis_name, None)
+
+    def local(q_l: jax.Array, k_l: jax.Array, v_l: jax.Array) -> jax.Array:
+        k_full = jax.lax.all_gather(k_l, axis_name, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_l, axis_name, axis=2, tiled=True)
+        scale = 1.0 / (q_l.shape[-1] ** 0.5)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q_l, k_full, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v_full)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
+
+
+def sequence_sharded_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    impl: str = "ring",
+) -> jax.Array:
+    """Dispatch: ``impl`` in {'ring', 'allgather'}."""
+    fn = {"ring": ring_attention, "allgather": allgather_attention}.get(impl)
+    if fn is None:
+        raise ValueError(f"unknown sp attention impl {impl!r}")
+    return fn(q, k, v, mesh, axis_name)
+
+
+def make_sp_mesh(sp: int, devices=None) -> Mesh:
+    """A 1-axis sequence-parallel mesh (composable helper for tests/serving)."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < sp:
+        raise ValueError(f"need {sp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:sp]), axis_names=("sp",))

@@ -89,11 +89,41 @@ def check_sharded_forward_parity(model, params, inputs):
     print("sharded forward parity OK")
 
 
+def check_sequence_parallel_attention():
+    """ring/allgather SP attention == single-device full attention."""
+    from reptext_tpu.ops.attention import xla_attention
+    from reptext_tpu.parallel import make_sp_mesh, sequence_sharded_attention
+
+    r = np.random.default_rng(7)
+    b, h, s, d = 2, 4, 64, 16  # s divisible by sp=8
+    q, k, v = (jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32) for _ in range(3))
+    want = np.asarray(xla_attention(q, k, v))
+
+    mesh = make_sp_mesh(8)
+    for impl in ("ring", "allgather"):
+        got = np.asarray(
+            jax.jit(
+                lambda q, k, v, impl=impl: sequence_sharded_attention(
+                    q, k, v, mesh, impl=impl)
+            )(q, k, v)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5), impl
+    # bf16 inputs: fp32 online-softmax accumulation must stay close to the
+    # fp32 reference (kernel-level contract for the long-context path)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    got_bf = np.asarray(
+        jax.jit(lambda q, k, v: sequence_sharded_attention(q, k, v, mesh, impl="ring"))(
+            qb, kb, vb)).astype(np.float32)
+    np.testing.assert_allclose(got_bf, want, rtol=0.05, atol=0.05)
+    print("sequence-parallel attention OK")
+
+
 def main():
     assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8, (
         jax.default_backend(), len(jax.devices()))
     check_mesh_shapes()
     check_batch_sharding()
+    check_sequence_parallel_attention()
     model = FluxTransformer2D(CFG)
     inputs = _inputs()
     params = model.init(jax.random.PRNGKey(0), **inputs)
