@@ -38,7 +38,7 @@ def _round_up(x: int, m: int) -> int:
 _SINGLE_PASS_MAX_SEQ = 6144
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int, scale: float):
     q = q_ref[0, 0]  # [block_q, D]
     k = k_ref[0, 0]  # [S_pad, D]
     v = v_ref[0, 0]  # [S_pad, D]
@@ -54,17 +54,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
         logits = jnp.where(col < valid_len, logits, -jnp.inf)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
 
     o_ref[0, 0] = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+    # logsumexp per query row: the softmax statistic the backward pass needs
+    # to recompute p = exp(logits - L) without a second max/sum reduction.
+    l_ref[0, 0] = m + jnp.log(denom)
 
 
-def _streaming_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+def _streaming_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_scr, l_scr, acc_scr,
                       *, valid_len: int, scale: float, block_kv: int):
     """Online-softmax flash attention: kv chunks stream through VMEM.
 
@@ -108,6 +112,7 @@ def _streaming_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     @pl.when(kv_idx == n_kv - 1)
     def _():
         o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        l_ref[0, 0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def _streaming_flash(q, k, v, block_q, block_kv, interpret):
@@ -122,9 +127,12 @@ def _streaming_flash(q, k, v, block_q, block_kv, interpret):
     kernel = functools.partial(
         _streaming_kernel, valid_len=s, scale=scale, block_kv=block_kv
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
@@ -134,9 +142,12 @@ def _streaming_flash(q, k, v, block_q, block_kv, interpret):
             pl.BlockSpec((1, 1, block_kv, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -149,9 +160,7 @@ def _streaming_flash(q, k, v, block_q, block_kv, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
-    if s_pad != s:
-        out = out[:, :, :s, :]
-    return out
+    return out[:, :, :s, :], lse[:, :, :s, 0]
 
 
 def _flash_attention_impl(
@@ -161,11 +170,13 @@ def _flash_attention_impl(
     block_q: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Full (non-causal) MHA: [B, H, S, D] x3 -> [B, H, S, D].
+    """Full (non-causal) MHA: [B, H, S, D] x3 -> ([B, H, S, D], lse [B, H, S]).
 
     Single-pass kernel (whole K/V VMEM-resident) at FLUX-native lengths;
     streaming online-softmax kernel beyond ~6k tokens (>=1536^2 images).
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    The second output is the per-row logsumexp, consumed by the Pallas
+    backward to recompute softmax probabilities blockwise.
     """
     b, h, s, d = q.shape
     if s > _SINGLE_PASS_MAX_SEQ:
@@ -184,9 +195,12 @@ def _flash_attention_impl(
     grid = (b, h, s_pad // block_q)
     kernel = functools.partial(_attn_kernel, valid_len=s, scale=scale)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -202,9 +216,15 @@ def _flash_attention_impl(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * s_pad * s_pad * d,
@@ -214,39 +234,176 @@ def _flash_attention_impl(
         interpret=interpret,
     )(q, k, v)
 
-    if s_pad != s:
-        out = out[:, :, :s, :]
-    return out
+    return out[:, :, :s, :], lse[:, :, :s, 0]
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward, fp32 einsum backward.
+# Backward pass: streaming Pallas kernels (flash-attention backward).
 #
-# Training (flow-matching fine-tune / ControlNet training) differentiates
-# through attention; the Pallas forward has no auto-derived VJP, so the
-# backward pass recomputes softmax(qk^T) with XLA einsums in fp32 and applies
-# the standard attention gradient identities. A streaming (flash) backward
-# kernel is the optimization path once training becomes the bottleneck.
+# Training (flow-matching fine-tune / ControlNet training,
+# RepText/controlnet_flux.py:321-340 gradient-checkpoint affordance)
+# differentiates through attention. The backward recomputes softmax
+# probabilities blockwise from the saved logsumexp rows — O(block_q x
+# block_kv) VMEM, never O(S^2) HBM — in two kernels: dQ (kv innermost) and
+# dK/dV (q innermost). An fp32 einsum backward is kept as the numerical
+# reference ('einsum' impl, also the CPU-test oracle).
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    block_q: int = 256,
-    interpret: bool = False,
-) -> jax.Array:
-    return _flash_attention_impl(q, k, v, block_q, interpret)
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
+               *, valid_len: int, scale: float, block_kv: int):
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [block_q, block_kv]
+    first_invalid = valid_len - kv_idx * block_kv
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < first_invalid, logits, -jnp.inf)
+
+    p = jnp.exp(logits - lse_ref[0, 0])  # masked cols -> exp(-inf)=0
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0])
+    acc[:] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        dq_ref[0, 0] = acc[:].astype(dq_ref.dtype)
 
 
-def _fwd(q, k, v, block_q, interpret):
-    return _flash_attention_impl(q, k, v, block_q, interpret), (q, k, v)
+def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc,
+                *, valid_len: int, scale: float, block_kv: int):
+    q_idx = pl.program_id(3)
+    n_q = pl.num_programs(3)
+    kv_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    q = q_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [block_q, block_kv]
+    first_invalid = valid_len - kv_idx * block_kv
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < first_invalid, logits, -jnp.inf)
+
+    p = jnp.exp(logits - lse_ref[0, 0])
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # p^T @ do -> [block_kv, D]
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0])
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # ds^T @ q -> [block_kv, D]
+
+    @pl.when(q_idx == n_q - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(block_q, interpret, residuals, g):
-    q, k, v = residuals
+def _flash_backward_pallas(q, k, v, out, lse, g, block_q, interpret):
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    block_kv = min(block_q, 512)
+    s_pad = _round_up(_round_up(max(s, 128), block_q), block_kv)
+    block_q = min(block_q, s_pad)
+    if s_pad != s:
+        pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        pad3 = [(0, 0), (0, 0), (0, s_pad - s)]
+        q, k, v, g = (jnp.pad(x, pad4) for x in (q, k, v, g))
+        out = jnp.pad(out, pad4)
+        lse = jnp.pad(lse, pad3)
+    lse = lse[..., None]  # [B, H, S_pad, 1] (trailing dim for TPU tiling)
+
+    # delta_i = sum_d dO_i * O_i  (rowwise; cheap XLA elementwise reduce)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+
+    row4 = lambda blk: pl.BlockSpec(  # noqa: E731
+        (1, 1, blk, d), lambda bi, hi, i, j: (bi, hi, i, 0),
+        memory_space=pltpu.VMEM)
+    inner4 = lambda blk: pl.BlockSpec(  # noqa: E731
+        (1, 1, blk, d), lambda bi, hi, i, j: (bi, hi, j, 0),
+        memory_space=pltpu.VMEM)
+    row3 = lambda blk: pl.BlockSpec(  # noqa: E731
+        (1, 1, blk, 1), lambda bi, hi, i, j: (bi, hi, i, 0), memory_space=pltpu.VMEM)
+    inner3 = lambda blk: pl.BlockSpec(  # noqa: E731
+        (1, 1, blk, 1), lambda bi, hi, i, j: (bi, hi, j, 0), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, valid_len=s, scale=scale, block_kv=block_kv),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        grid=(b, h, s_pad // block_q, s_pad // block_kv),
+        in_specs=[row4(block_q), inner4(block_kv), inner4(block_kv),
+                  row4(block_q), row3(block_q), row3(block_q)],
+        out_specs=row4(block_q),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * h * s_pad * s_pad * d,
+            bytes_accessed=6 * b * h * s_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, valid_len=s, scale=scale, block_kv=block_kv),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, s_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), v.dtype),
+        ),
+        grid=(b, h, s_pad // block_kv, s_pad // block_q),
+        in_specs=[row4(block_kv), row4(block_kv), inner4(block_q),
+                  inner4(block_q), inner3(block_q), inner3(block_q)],
+        out_specs=(row4(block_kv), row4(block_kv)),
+        scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
+                        pltpu.VMEM((block_kv, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * b * h * s_pad * s_pad * d,
+            bytes_accessed=6 * b * h * s_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(k, v, q, g, lse, delta)
+
+    return dq[:, :, :s], dk[:, :, :s], dv[:, :, :s]
+
+
+def _flash_backward_einsum(q, k, v, g):
+    """Reference O(S^2)-memory fp32 backward (numerical oracle for tests)."""
     dtype = q.dtype
     qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, g))
     scale = 1.0 / math.sqrt(q.shape[-1])
@@ -258,6 +415,31 @@ def _bwd(block_q, interpret, residuals, g):
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
     return dq.astype(dtype), dk.astype(dtype), dv.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 256,
+    interpret: bool = False,
+    backward: str = "pallas",
+) -> jax.Array:
+    out, _ = _flash_attention_impl(q, k, v, block_q, interpret)
+    return out
+
+
+def _fwd(q, k, v, block_q, interpret, backward):
+    out, lse = _flash_attention_impl(q, k, v, block_q, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd(block_q, interpret, backward, residuals, g):
+    q, k, v, out, lse = residuals
+    if backward == "einsum":
+        return _flash_backward_einsum(q, k, v, g)
+    return _flash_backward_pallas(q, k, v, out, lse, g, block_q, interpret)
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -1,5 +1,7 @@
 """Attention backends: XLA reference vs Pallas kernel (interpret mode on CPU)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,11 +44,12 @@ def test_flash_unaligned_seq_len():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_flash_gradients_match_xla():
+@pytest.mark.parametrize("backward", ["pallas", "einsum"])
+def test_flash_gradients_match_xla(backward):
     q, k, v = _qkv(b=1, h=2, s=128, d=32, seed=11)
 
     def loss_flash(q, k, v):
-        return (flash_attention(q, k, v, 128, True) ** 2).sum()
+        return (flash_attention(q, k, v, 128, True, backward) ** 2).sum()
 
     def loss_xla(q, k, v):
         return (xla_attention(q, k, v) ** 2).sum()
@@ -57,12 +60,42 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-3, atol=1e-3)
 
 
+def test_flash_pallas_backward_unaligned_matches_einsum_backward():
+    # 200 is not a multiple of 128: exercises padding + key masking in both
+    # backward kernels (dQ and dK/dV)
+    q, k, v = _qkv(b=2, h=2, s=200, d=32, seed=13)
+
+    def loss(q, k, v, backward):
+        return (flash_attention(q, k, v, 128, True, backward) * 0.1).sum()
+
+    g_pallas = jax.grad(functools.partial(loss, backward="pallas"),
+                        argnums=(0, 1, 2))(q, k, v)
+    g_einsum = jax.grad(functools.partial(loss, backward="einsum"),
+                        argnums=(0, 1, 2))(q, k, v)
+    for gp, ge in zip(g_pallas, g_einsum):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ge),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_flash_lse_stats():
+    # forward must emit per-row logsumexp for the backward
+    from reptext_tpu.ops.flash_attention import _flash_attention_impl
+    q, k, v = _qkv(b=1, h=2, s=200, d=32, seed=17)
+    _, lse = _flash_attention_impl(q, k, v, block_q=128, interpret=True)
+    logits = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(32)
+    want = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) + \
+        logits.max(-1)
+    assert lse.shape == (1, 2, 200)
+    np.testing.assert_allclose(np.asarray(lse), want, rtol=1e-5, atol=1e-5)
+
+
 def test_streaming_flash_matches_xla():
     from reptext_tpu.ops.flash_attention import _streaming_flash
     q, k, v = _qkv(b=1, h=2, s=200, d=32, seed=21)
     want = np.asarray(xla_attention(q, k, v))
-    got = np.asarray(_streaming_flash(q, k, v, block_q=128, block_kv=128,
-                                      interpret=True))
+    got, _lse = _streaming_flash(q, k, v, block_q=128, block_kv=128,
+                                 interpret=True)
+    got = np.asarray(got)
     assert got.shape == (1, 2, 200, 32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
