@@ -185,22 +185,22 @@ def main(argv=None) -> int:
 
 
 def _tokenize(prompt, clip_cfg, t5_cfg, checkpoint_dir):
-    """Use local HF tokenizers when present; else deterministic fallback ids
-    (keeps demo mode runnable with zero network egress)."""
+    """Vendored tokenizers from checkpoint-dir files (no transformers import;
+    reference wires HF tokenizers via the pipeline,
+    RepText/pipeline_flux_controlnet.py:194-226); else deterministic fallback
+    ids (keeps demo mode runnable with zero network egress)."""
     import jax.numpy as jnp
 
     if checkpoint_dir:
         clip_tok_dir = os.path.join(checkpoint_dir, "tokenizer")
-        t5_tok_dir = os.path.join(checkpoint_dir, "tokenizer_2")
-        if os.path.isdir(clip_tok_dir) and os.path.isdir(t5_tok_dir):
-            from transformers import AutoTokenizer
+        t5_spm = os.path.join(checkpoint_dir, "tokenizer_2", "spiece.model")
+        if os.path.isfile(os.path.join(clip_tok_dir, "vocab.json")) and os.path.isfile(t5_spm):
+            from reptext_tpu.text import CLIPBPETokenizer, SentencePieceUnigram
 
-            ct = AutoTokenizer.from_pretrained(clip_tok_dir)
-            tt = AutoTokenizer.from_pretrained(t5_tok_dir)
-            clip_ids = ct(prompt, padding="max_length", max_length=77,
-                          truncation=True, return_tensors="np").input_ids
-            t5_ids = tt(prompt, padding="max_length", max_length=512,
-                        truncation=True, return_tensors="np").input_ids
+            ct = CLIPBPETokenizer.from_dir(clip_tok_dir)
+            tt = SentencePieceUnigram.from_file(t5_spm)
+            clip_ids = [ct.encode(prompt, max_length=clip_cfg.max_position_embeddings)]
+            t5_ids = [tt.encode(prompt, max_length=512, add_eos=True, pad_to_max=True)]
             return jnp.asarray(clip_ids, jnp.int32), jnp.asarray(t5_ids, jnp.int32)
 
     # fallback: stable per-word hash ids (demo only)
