@@ -10,16 +10,16 @@ implemented from scratch:
 - :func:`shape_arabic`: Unicode contextual analysis — selects isolated/final/
   initial/medial presentation forms (Arabic Presentation Forms-A/B) including
   lam-alef ligatures and join-transparent diacritics.
-- :func:`bidi_reorder`: a pragmatic UAX#9 subset — strong-type run resolution,
-  numeric handling, neutral resolution, level-based reversal, bracket mirroring.
+- :func:`bidi_reorder`: UAX#9 visual reordering (full weak-type W1-W7 with
+  separate EN/AN, bracket pairs, directional marks) — see
+  reptext_tpu/conditioning/bidi.py, validated against GNU FriBidi fixtures.
 - :func:`prepare_display_text`: shape then reorder, ready for LTR glyph
   rendering engines.
 """
 
 from __future__ import annotations
 
-import unicodedata
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 # ---------------------------------------------------------------------------
 # Contextual shaping tables
@@ -199,127 +199,20 @@ def shape_arabic(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Bidi (UAX#9 subset)
+# Bidi: full UAX#9 core lives in reptext_tpu.conditioning.bidi (separate
+# EN/AN weak-type resolution, bracket pairs, LRM/RLM/ALM marks), pinned to
+# GNU FriBidi golden fixtures. These aliases keep the original API.
 # ---------------------------------------------------------------------------
 
-_MIRRORS = {
-    "(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{",
-    "<": ">", ">": "<", "«": "»", "»": "«",
-}
-
-
-def _bidi_class(ch: str) -> str:
-    """Collapse unicodedata.bidirectional into the classes we resolve."""
-    b = unicodedata.bidirectional(ch)
-    if b in ("R", "AL"):
-        return "R"
-    if b == "L":
-        return "L"
-    if b in ("EN", "AN"):
-        return "N"  # numbers render LTR
-    if b in ("WS", "S", "B"):
-        return "WS"
-    return "ON"  # neutrals / other
-
-
-def base_direction(text: str) -> str:
-    """'rtl' if the first strong character is R/AL, else 'ltr'."""
-    for ch in text:
-        c = _bidi_class(ch)
-        if c == "R":
-            return "rtl"
-        if c == "L":
-            return "ltr"
-    return "ltr"
+from reptext_tpu.conditioning.bidi import (  # noqa: E402
+    base_direction,
+    reorder_visual,
+)
 
 
 def bidi_reorder(text: str, base: Optional[str] = None) -> str:
-    """Logical order -> visual order for an LTR renderer.
-
-    Implements the practically-relevant core of UAX#9: embedding levels from
-    strong types (R -> odd, L/numbers -> even), neutrals take surrounding-run
-    level (base level on conflict), then rule L2 (reverse maximal runs from the
-    highest level down), plus bracket mirroring inside RTL runs.
-    """
-    if not text:
-        return text
-    if base is None:
-        base = base_direction(text)
-    base_level = 1 if base == "rtl" else 0
-
-    classes = [_bidi_class(c) for c in text]
-
-    # Strong levels
-    levels = []
-    for c in classes:
-        if c == "R":
-            levels.append(base_level + 1 if base_level % 2 == 0 else base_level)
-        elif c in ("L", "N"):
-            levels.append(base_level if base_level % 2 == 0 else base_level + 1)
-        else:
-            levels.append(-1)  # neutral, resolve below
-
-    # Numbers embedded in an RTL context stay LTR but at a higher even level.
-    if base_level == 1:
-        for i, c in enumerate(classes):
-            if c == "N":
-                levels[i] = 2
-
-    # Resolve neutrals: surrounding equal levels win, else base level.
-    n = len(text)
-    i = 0
-    while i < n:
-        if levels[i] == -1:
-            j = i
-            while j < n and levels[j] == -1:
-                j += 1
-            before = levels[i - 1] if i > 0 else base_level
-            after = levels[j] if j < n else base_level
-            fill = before if before == after else base_level
-            for k in range(i, j):
-                levels[k] = fill
-            i = j
-        else:
-            i += 1
-
-    # Rule L2: from the highest level down to 1, reverse maximal level runs.
-    chars = list(text)
-    max_level = max(levels)
-    for level in range(max_level, 0, -1):
-        i = 0
-        while i < n:
-            if levels[i] >= level:
-                j = i
-                while j < n and levels[j] >= level:
-                    j += 1
-                chars[i:j] = chars[i:j][::-1]
-                i = j
-            else:
-                i += 1
-
-    # Mirror brackets that ended up inside odd (RTL) levels.
-    out = [
-        _MIRRORS.get(c, c) if levels_orig % 2 else c
-        for c, levels_orig in zip(chars, _reorder_levels(levels, max_level, n))
-    ]
-    return "".join(out)
-
-
-def _reorder_levels(levels: List[int], max_level: int, n: int) -> List[int]:
-    """Apply the same L2 reversals to the level array (for mirroring lookup)."""
-    lv = list(levels)
-    for level in range(max_level, 0, -1):
-        i = 0
-        while i < n:
-            if lv[i] >= level:
-                j = i
-                while j < n and lv[j] >= level:
-                    j += 1
-                lv[i:j] = lv[i:j][::-1]
-                i = j
-            else:
-                i += 1
-    return lv
+    """Logical order -> visual order for an LTR renderer (UAX#9)."""
+    return reorder_visual(text, base)
 
 
 def prepare_display_text(text: str) -> str:

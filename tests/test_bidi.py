@@ -1,0 +1,68 @@
+"""UAX#9 bidi tests against GNU FriBidi golden fixtures.
+
+Fixtures (tests/fixtures/bidi_cases.json) are recorded from libfribidi via
+tests/record_bidi_fixtures.py — 26 mixed Arabic/digit/Latin/punctuation cases
+with expected visual order from the reference implementation.
+"""
+
+import json
+import os
+
+import pytest
+
+from reptext_tpu.conditioning.bidi import base_direction, reorder_visual
+
+FIXTURE_PATH = os.path.join(os.path.dirname(__file__), "fixtures", "bidi_cases.json")
+
+with open(FIXTURE_PATH, encoding="utf-8") as f:
+    FIXTURES = json.load(f)
+
+assert len(FIXTURES) >= 20
+
+
+@pytest.mark.parametrize(
+    "logical,visual", [(fx["logical"], fx["visual"]) for fx in FIXTURES],
+    ids=[f"case{i}" for i in range(len(FIXTURES))])
+def test_reorder_matches_fribidi(logical, visual):
+    assert reorder_visual(logical) == visual
+
+
+def test_base_direction():
+    assert base_direction("hello") == "ltr"
+    assert base_direction("مرحبا") == "rtl"
+    assert base_direction("123 مرحبا") == "rtl"   # digits are not strong
+    assert base_direction("!?") == "ltr"           # default
+    assert base_direction("‏abc") == "rtl"    # RLM is strong R
+    assert base_direction("؜abc") == "rtl"    # ALM is strong AL
+
+
+def test_marks_removed_from_visual():
+    out = reorder_visual("ملف pdf‏")
+    assert "‏" not in out and "‎" not in out
+
+
+def test_en_vs_an_separation():
+    # EN after Arabic letters becomes AN (W2) and orders with the RTL text;
+    # EN after Latin stays EN. Both captured in fixtures; spot-check classes:
+    from reptext_tpu.conditioning.bidi import resolve_levels
+
+    levels, _ = resolve_levels("غرفة 101")
+    # digits at level 2 (AN in RTL paragraph)
+    digit_levels = [lv for ch, lv in zip("غرفة 101", levels) if ch.isdigit()]
+    assert digit_levels == [2, 2, 2]
+
+
+def test_live_fribidi_crosscheck():
+    """If libfribidi is loadable, re-derive every fixture live."""
+    import ctypes.util
+
+    path = ctypes.util.find_library("fribidi")
+    if path is None:
+        pytest.skip("libfribidi not present")
+    import ctypes
+
+    import record_bidi_fixtures as rec
+
+    lib = ctypes.CDLL(path)
+    for fx in FIXTURES:
+        assert rec.log2vis(fx["logical"], lib) == fx["visual"]
