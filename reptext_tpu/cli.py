@@ -38,10 +38,10 @@ def build_prompt(prompt: str, texts, suffix: str = "") -> str:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="RepText-TPU text-to-image")
-    parser.add_argument("--text", action="append", required=True,
+    parser.add_argument("--text", action="append",
                         help="text line to render (repeatable)")
     parser.add_argument("--position", action="append", nargs=2, type=int,
-                        metavar=("X", "Y"), required=True,
+                        metavar=("X", "Y"),
                         help="top-left position per text line (repeatable)")
     parser.add_argument("--color", action="append", nargs=3, type=int,
                         metavar=("R", "G", "B"), default=None)
@@ -58,7 +58,16 @@ def main(argv=None) -> int:
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output", default="results/result.png")
-    parser.add_argument("--mode", choices=["txt2img", "inpaint"], default="txt2img")
+    parser.add_argument("--mode", choices=["txt2img", "inpaint", "serve"],
+                        default="txt2img")
+    parser.add_argument("--host", default="127.0.0.1", help="serve: bind host")
+    parser.add_argument("--port", type=int, default=8470, help="serve: bind port")
+    parser.add_argument("--warmup", action="store_true",
+                        help="serve: compile generation graphs before accepting traffic")
+    parser.add_argument("--max-batch", type=int, default=4,
+                        help="serve: max coalesced requests per sampler call")
+    parser.add_argument("--batch-window", type=float, default=0.0,
+                        help="serve: seconds to linger for burst coalescing")
     parser.add_argument("--image", default=None,
                         help="inpaint: input image path (resized to x64 dims)")
     parser.add_argument("--mask", default=None,
@@ -76,11 +85,15 @@ def main(argv=None) -> int:
                         help="disable Arabic shaping (reference raw behavior)")
     args = parser.parse_args(argv)
 
-    if len(args.text) != len(args.position):
-        parser.error("--text and --position counts must match")
-    colors = args.color or [(255, 255, 255)] * len(args.text)
-    if len(colors) != len(args.text):
-        parser.error("--color count must match --text")
+    serve = args.mode == "serve"
+    if not serve:
+        if not args.text or not args.position:
+            parser.error("--text and --position are required for generation modes")
+        if len(args.text) != len(args.position):
+            parser.error("--text and --position counts must match")
+        colors = args.color or [(255, 255, 255)] * len(args.text)
+        if len(colors) != len(args.text):
+            parser.error("--color count must match --text")
 
     import jax.numpy as jnp
 
@@ -144,6 +157,26 @@ def main(argv=None) -> int:
         )
     else:
         pipeline = FluxRepTextPipeline.create(**create_kwargs)
+
+    if serve:
+        from reptext_tpu.serving import GenerationServer
+
+        def tokenizer(prompt):
+            return _tokenize(prompt, clip_cfg, t5_cfg, args.checkpoint_dir)
+
+        server = GenerationServer(
+            pipeline, host=args.host, port=args.port, tokenizer=tokenizer,
+            warmup=args.warmup, max_batch=args.max_batch,
+            batch_window_s=args.batch_window,
+        )
+        host, port = server.address
+        print(f"serving on http://{host}:{port} "
+              f"(POST /generate, GET /healthz, GET /metrics)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
 
     lines = [
         TextLine(t, tuple(p), tuple(c), font_size=args.font_size)

@@ -362,6 +362,69 @@ class FluxRepTextPipeline:
         images = self._decode(latents)
         return postprocess_images(images)
 
+    # ------------------------------------------------------- batched serving
+
+    def generate_batch(
+        self,
+        conditions_list,
+        clip_ids: jax.Array,            # [B, 77]
+        t5_ids: jax.Array,              # [B, S_txt]
+        seeds,
+        guidance_scale: Optional[float] = None,
+        num_inference_steps: Optional[int] = None,
+        output_type: str = "np",
+    ) -> np.ndarray:
+        """Generate one image per request in a single fused sampler call.
+
+        Serving's coalescing path: B independent requests — each with its own
+        conditions, prompt ids, and seed — ride the batch axis of one compiled
+        graph. All requests must share the number of text lines (that, plus
+        steps and guidance, is the coalescing signature). The reference has no
+        batched serving at all (SURVEY.md §5); its pipeline batches only
+        ``num_images_per_prompt`` copies of one request
+        (RepText/pipeline_flux_controlnet.py:608-660).
+        """
+        cfg = self.pipe_cfg
+        n_lines = {c.num_lines for c in conditions_list}
+        if len(n_lines) != 1:
+            raise ValueError(f"batch requests must share num_lines, got {n_lines}")
+        if not (len(conditions_list) == len(seeds) == clip_ids.shape[0]
+                == t5_ids.shape[0]):
+            raise ValueError("conditions_list, seeds, clip_ids, t5_ids lengths differ")
+        steps = num_inference_steps or cfg.num_inference_steps
+        gscale = guidance_scale if guidance_scale is not None else cfg.guidance_scale
+
+        prompt_embeds, pooled_embeds = self.encode_prompt(clip_ids, t5_ids)
+
+        cond_l, mask_l, lat_l = [], [], []
+        for conds, seed in zip(conditions_list, seeds):
+            rng = jax.random.PRNGKey(int(seed))
+            r_lat, r_cond, r_glyph = jax.random.split(rng, 3)
+            ct, tm = self.prepare_control_tokens(conds, r_cond)
+            cond_l.append(ct)
+            mask_l.append(tm)
+            lat_l.append(self.prepare_latents(r_lat, 1, conds.glyph_canvas, r_glyph))
+        cond_tokens = jnp.stack(cond_l, axis=1)   # [N, B, S, F] per-image conds
+        token_masks = jnp.stack(mask_l, axis=1)   # [N, B, S, 1]
+        latents = jnp.concatenate(lat_l, axis=0)  # [B, S, C]
+
+        b = latents.shape[0]
+        sampler = self._get_sampler(steps)
+        img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
+        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))
+        guidance = (
+            jnp.full((b,), gscale, jnp.float32)
+            if self.flux.config.guidance_embeds else None
+        )
+        latents = sampler(
+            self.params["flux"], self.params["controlnet"], latents,
+            cond_tokens, token_masks, prompt_embeds, pooled_embeds,
+            txt_ids, img_ids, guidance,
+        )
+        if output_type == "latent":
+            return latents
+        return postprocess_images(self._decode(latents))
+
     # ------------------------------------------------------------ internals
 
     def _encode_scaled(self, images_nhwc: jax.Array, rng: jax.Array) -> jax.Array:

@@ -52,8 +52,8 @@ def make_txt2img_sampler(
         flux_params,
         cn_params,
         latents: jax.Array,        # [B, S, C] packed fp32 initial latents
-        cond_tokens: jax.Array,    # [N_lines, S, F] packed control conditioning
-        token_masks: jax.Array,    # [N_lines, S, 1] per-token regional masks
+        cond_tokens: jax.Array,    # [N, S, F] shared or [N, B, S, F] per-image
+        token_masks: jax.Array,    # [N, S, 1] shared or [N, B, S, 1] per-image
         prompt_embeds: jax.Array,  # [B, S_txt, joint_dim]
         pooled_embeds: jax.Array,  # [B, pooled_dim]
         txt_ids: jax.Array,        # [S_txt, 3]
@@ -67,12 +67,21 @@ def make_txt2img_sampler(
 
         ctx = prompt_embeds.astype(compute_dtype)
         pooled = pooled_embeds.astype(compute_dtype)
-        cond = jnp.repeat(cond_tokens, b, axis=0).astype(compute_dtype)  # [N*B, S, F]
-        # line-major tiling: latents for line j, image i at index j*b + i
+        # line-major tiling: latents for line j, image i at index j*b + i.
+        # Rank-3 conds are shared across the batch (single request, num_images
+        # copies); rank-4 conds carry one condition set per image (serving's
+        # coalesced cross-request batches).
+        if cond_tokens.ndim == 4:
+            cond = cond_tokens.reshape(
+                n_lines * b, cond_tokens.shape[2], cond_tokens.shape[3]
+            ).astype(compute_dtype)
+            masks = token_masks[None]              # [1, N, B, S, 1]
+        else:
+            cond = jnp.repeat(cond_tokens, b, axis=0).astype(compute_dtype)
+            masks = token_masks[None, :, None, :, :]  # [1, N, 1, S, 1]
         ctx_nb = jnp.tile(ctx, (n_lines, 1, 1))
         pooled_nb = jnp.tile(pooled, (n_lines, 1))
         guidance_nb = None if guidance is None else jnp.tile(guidance, n_lines)
-        masks = token_masks[None, :, None, :, :]  # [1, N, 1, S, 1]
 
         def run_controlnet(x_model, t_b):
             block, single = controlnet_apply(

@@ -1,15 +1,20 @@
-"""Minimal production serving layer: request queue + worker + HTTP JSON API.
+"""Production serving layer: coalescing request queue + worker + HTTP JSON API.
 
 The reference is a notebook/script-driven stack with no serving path
 (SURVEY.md §1 L4). This module provides the deployment-shaped surface:
 
 - :class:`GenerationWorker`: a background thread draining a request queue
-  through one resident pipeline (one compiled graph set, no per-request
-  recompilation — requests with the same (size, steps) signature reuse the
-  jitted sampler).
+  through one resident pipeline. Queued requests with the same signature
+  (steps, guidance scale, number of text lines) are coalesced onto the batch
+  axis of a single fused sampler call (``pipeline.generate_batch``), so a
+  burst of N compatible requests costs ~one request of wall-clock instead
+  of N. Batch sizes are bucketed to powers of two so the compile cache stays
+  small (XLA compiles once per (signature, bucket)).
 - :class:`GenerationServer`: a stdlib HTTP server exposing
   ``POST /generate`` (JSON: prompt, text lines, seed, steps) returning a
-  base64 PNG, plus ``GET /healthz``.
+  base64 PNG, ``GET /healthz``, and ``GET /metrics`` (the
+  :mod:`reptext_tpu.utils.metrics` snapshot: request counters, batch sizes,
+  queue depth, latency percentiles).
 
 Single-host scope; multi-host serving rides the same pipeline over a
 `jax.sharding.Mesh` (parallel/) and a fleet fronting this API.
@@ -29,6 +34,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from reptext_tpu.utils.metrics import Metrics, default_metrics
+
 
 @dataclass
 class GenerationRequest:
@@ -42,17 +49,33 @@ class GenerationRequest:
     _error: Optional[str] = None
 
 
-class GenerationWorker:
-    """Drains a queue through a resident pipeline on a worker thread."""
+def _bucket(n: int, cap: int) -> int:
+    """Round batch size up to the next power of two (bounded by cap)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap)
 
-    def __init__(self, pipeline, tokenizer=None, max_queue: int = 64):
+
+class GenerationWorker:
+    """Drains a queue through a resident pipeline on a worker thread,
+    coalescing compatible requests into batched sampler calls."""
+
+    def __init__(self, pipeline, tokenizer=None, max_queue: int = 64,
+                 max_batch: int = 4, batch_window_s: float = 0.0,
+                 metrics: Optional[Metrics] = None):
         self.pipeline = pipeline
         self.tokenizer = tokenizer  # callable(prompt) -> (clip_ids, t5_ids)
         self.requests: "queue.Queue[GenerationRequest]" = queue.Queue(max_queue)
+        self.max_batch = max(1, max_batch)
+        self.batch_window_s = batch_window_s
+        self.metrics = metrics if metrics is not None else default_metrics
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._pending: List[GenerationRequest] = []  # worker-thread only
         self.completed = 0
         self.failed = 0
+        self.batches = 0
 
     def start(self):
         self._thread.start()
@@ -80,7 +103,14 @@ class GenerationWorker:
 
     def submit(self, req: GenerationRequest) -> GenerationRequest:
         self.requests.put(req, block=False)
+        self.metrics.inc("serving.requests_submitted")
         return req
+
+    # ----------------------------------------------------------- internals
+
+    @staticmethod
+    def _signature(req: GenerationRequest):
+        return (req.num_steps, req.guidance_scale, len(req.lines))
 
     def _tokenize(self, prompt: str):
         if self.tokenizer is not None:
@@ -89,15 +119,96 @@ class GenerationWorker:
 
         return _tokenize(prompt, self.pipeline.clip.config, self.pipeline.t5.config, None)
 
-    def _loop(self):
+    def _collect_batch(self) -> List[GenerationRequest]:
+        """Pop one request (blocking briefly), then gather every queued
+        request with the same signature, up to max_batch. Non-matching
+        requests stay pending in arrival order."""
+        if not self._pending:
+            try:
+                self._pending.append(self.requests.get(timeout=0.2))
+            except queue.Empty:
+                return []
+        if self.batch_window_s > 0:
+            time.sleep(self.batch_window_s)  # linger: let a burst arrive
+        while True:
+            try:
+                self._pending.append(self.requests.get_nowait())
+            except queue.Empty:
+                break
+        lead = self._pending[0]
+        sig = self._signature(lead)
+        batch, rest = [], []
+        for r in self._pending:
+            if len(batch) < self.max_batch and self._signature(r) == sig:
+                batch.append(r)
+            else:
+                rest.append(r)
+        self._pending = rest
+        return batch
+
+    def _run_batch(self, batch: List[GenerationRequest]) -> None:
         from reptext_tpu.conditioning import TextLine, build_conditions
 
-        while not self._stop.is_set():
-            try:
-                req = self.requests.get(timeout=0.2)
-            except queue.Empty:
-                continue
-            try:
+        import jax.numpy as jnp
+
+        cfg = self.pipeline.pipe_cfg
+        conds_list, clip_l, t5_l = [], [], []
+        for req in batch:
+            lines = [
+                TextLine(
+                    l["text"], tuple(l["position"]),
+                    tuple(l.get("color", (255, 255, 255))),
+                    font_size=l.get("font_size"),
+                )
+                for l in req.lines
+            ]
+            conds_list.append(build_conditions(lines, cfg.width, cfg.height))
+            cids, tids = self._tokenize(req.prompt)
+            clip_l.append(np.asarray(cids)[0])
+            t5_l.append(np.asarray(tids)[0])
+
+        # Pad t5 ids to the longest in the batch (pad id 0 == T5 <pad>).
+        t5_len = max(t.shape[0] for t in t5_l)
+        t5_ids = np.zeros((len(batch), t5_len), np.int32)
+        for i, t in enumerate(t5_l):
+            t5_ids[i, : t.shape[0]] = t
+        clip_ids = jnp.asarray(np.stack(clip_l))
+        t5_ids = jnp.asarray(t5_ids)
+
+        # Pad the batch to a power-of-two bucket (repeat the last request)
+        # so XLA compiles one graph per bucket, not per batch size.
+        n = len(batch)
+        bucket = _bucket(n, self.max_batch)
+        pad = bucket - n
+        if pad:
+            conds_list = conds_list + [conds_list[-1]] * pad
+            clip_ids = jnp.concatenate([clip_ids, jnp.tile(clip_ids[-1:], (pad, 1))])
+            t5_ids = jnp.concatenate([t5_ids, jnp.tile(t5_ids[-1:], (pad, 1))])
+        seeds = [r.seed for r in batch] + [batch[-1].seed] * pad
+
+        lead = batch[0]
+        images = self.pipeline.generate_batch(
+            conds_list, clip_ids=clip_ids, t5_ids=t5_ids, seeds=seeds,
+            num_inference_steps=lead.num_steps,
+            guidance_scale=lead.guidance_scale,
+        )
+        for i, req in enumerate(batch):
+            req._result = np.asarray(images[i])
+
+    def _process_once(self) -> int:
+        """One scheduling round: collect a batch, run it, resolve futures.
+        Returns the number of requests served (0 if the queue was idle)."""
+        batch = self._collect_batch()
+        if not batch:
+            return 0
+        t0 = time.perf_counter()
+        try:
+            if len(batch) == 1:
+                # Single request: keep the exact __call__ semantics
+                # (img2img, callbacks live here; also the warmed-up graph).
+                req = batch[0]
+                from reptext_tpu.conditioning import TextLine, build_conditions
+
                 cfg = self.pipeline.pipe_cfg
                 lines = [
                     TextLine(
@@ -115,12 +226,30 @@ class GenerationWorker:
                     guidance_scale=req.guidance_scale,
                 )
                 req._result = images[0]
-                self.completed += 1
-            except Exception as e:  # noqa: BLE001 — report to client
-                req._error = f"{type(e).__name__}: {e}"
-                self.failed += 1
-            finally:
+            else:
+                self._run_batch(batch)
+            self.completed += len(batch)
+            self.batches += 1
+            self.metrics.inc("serving.requests_completed", len(batch))
+            self.metrics.inc("serving.batches")
+            self.metrics.observe("serving.batch_size", float(len(batch)))
+            self.metrics.observe("serving.generate_s", time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — report to client
+            msg = f"{type(e).__name__}: {e}"
+            for req in batch:
+                req._error = msg
+            self.failed += len(batch)
+            self.metrics.inc("serving.requests_failed", len(batch))
+        finally:
+            self.metrics.set("serving.queue_depth",
+                             self.requests.qsize() + len(self._pending))
+            for req in batch:
                 req._done.set()
+        return len(batch)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._process_once()
 
 
 def _make_handler(worker: GenerationWorker, timeout_s: float):
@@ -144,6 +273,8 @@ def _make_handler(worker: GenerationWorker, timeout_s: float):
                     "failed": worker.failed,
                     "queued": worker.requests.qsize(),
                 })
+            elif self.path == "/metrics":
+                self._json(200, worker.metrics.snapshot())
             else:
                 self._json(404, {"error": "not found"})
 
@@ -192,8 +323,12 @@ class GenerationServer:
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8470,
                  tokenizer=None, request_timeout_s: float = 600.0,
-                 warmup: bool = False):
-        self.worker = GenerationWorker(pipeline, tokenizer).start()
+                 warmup: bool = False, max_batch: int = 4,
+                 batch_window_s: float = 0.0):
+        self.worker = GenerationWorker(
+            pipeline, tokenizer, max_batch=max_batch,
+            batch_window_s=batch_window_s,
+        ).start()
         if warmup:
             self.worker.warmup()
         self.httpd = ThreadingHTTPServer(

@@ -82,3 +82,41 @@ def test_multiline_conditions(pipeline):
     t5_ids = jnp.asarray([[5, 1, 0, 0, 0, 0]], jnp.int32)
     images = pipeline(conds, clip_ids=clip_ids, t5_ids=t5_ids)
     assert images.shape == (1, H, W, 3)
+
+
+def test_generate_batch_matches_individual_calls(pipeline, conditions):
+    """Coalesced cross-request batching (serving path): one fused sampler
+    call with per-image conds must reproduce per-request results."""
+    conds_b = build_conditions(
+        [TextLine("Yo", (4, 8), font_size=20)], width=W, height=H
+    )
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0],
+                            [2, 11, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0],
+                          [4, 2, 1, 0, 0, 0]], jnp.int32)
+
+    batched = pipeline.generate_batch(
+        [conditions, conds_b], clip_ids=clip_ids, t5_ids=t5_ids, seeds=[7, 13],
+        output_type="latent",
+    )
+    single_a = pipeline(conditions, clip_ids=clip_ids[:1], t5_ids=t5_ids[:1],
+                        seed=7, output_type="latent")
+    single_b = pipeline(conds_b, clip_ids=clip_ids[1:], t5_ids=t5_ids[1:],
+                        seed=13, output_type="latent")
+
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single_a[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single_b[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_generate_batch_rejects_mismatched_lines(pipeline, conditions):
+    conds_two = build_conditions(
+        [TextLine("A", (4, 8), font_size=20), TextLine("B", (24, 32), font_size=20)],
+        width=W, height=H,
+    )
+    clip_ids = jnp.zeros((2, 8), jnp.int32)
+    t5_ids = jnp.zeros((2, 6), jnp.int32)
+    with pytest.raises(ValueError, match="num_lines"):
+        pipeline.generate_batch([conditions, conds_two], clip_ids=clip_ids,
+                                t5_ids=t5_ids, seeds=[1, 2])

@@ -66,3 +66,53 @@ def test_bad_request(server):
     assert status == 400
     status, _ = _request(server, "POST", "/nope", {})
     assert status == 404
+
+
+def test_metrics_endpoint(server):
+    status, data = _request(server, "GET", "/metrics")
+    assert status == 200
+    assert "counters" in data and "timings" in data and "gauges" in data
+    # the earlier generate test must have been counted
+    assert data["counters"].get("serving.requests_completed", 0) >= 1
+
+
+def test_worker_coalesces_same_signature_batch(server):
+    """Two queued same-signature requests are served by ONE batched call."""
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+    from reptext_tpu.utils.metrics import Metrics
+
+    m = Metrics()
+    worker = GenerationWorker(server.worker.pipeline, max_batch=4, metrics=m)
+    # do NOT start the thread — drive scheduling rounds directly
+    r1 = GenerationRequest(prompt="sign A",
+                           lines=[{"text": "Hi", "position": [8, 16]}], seed=3)
+    r2 = GenerationRequest(prompt="sign B",
+                           lines=[{"text": "Yo", "position": [4, 8]}], seed=9)
+    worker.submit(r1)
+    worker.submit(r2)
+    served = worker._process_once()
+    assert served == 2
+    assert worker.batches == 1 and worker.completed == 2
+    assert r1._error is None and r2._error is None, (r1._error, r2._error)
+    assert r1._result.shape == (H, W, 3) and r2._result.shape == (H, W, 3)
+    assert not (r1._result == r2._result).all()  # distinct seeds/conds
+    snap = m.snapshot()
+    assert snap["timings"]["serving.batch_size"]["max_s"] == 2.0
+
+
+def test_worker_splits_mismatched_signatures(server):
+    """Different (steps, guidance, n_lines) must NOT coalesce."""
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+    from reptext_tpu.utils.metrics import Metrics
+
+    worker = GenerationWorker(server.worker.pipeline, max_batch=4,
+                              metrics=Metrics())
+    r1 = GenerationRequest(prompt="a", lines=[{"text": "Hi", "position": [8, 16]}])
+    r2 = GenerationRequest(prompt="b", lines=[{"text": "Hi", "position": [8, 16]}],
+                           num_steps=1)
+    worker.submit(r1)
+    worker.submit(r2)
+    assert worker._process_once() == 1  # only r1's signature batch
+    assert r1._done.is_set() and not r2._done.is_set()
+    assert worker._process_once() == 1  # r2 follows
+    assert r2._done.is_set() and r2._error is None
