@@ -128,6 +128,47 @@ def allgather_attention(
     )(q, k, v)
 
 
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Ulysses-style SP: all-to-all swaps the sequence shard for a head shard.
+
+    Each device exchanges its S/n token slice of all H heads for the FULL
+    sequence of H/n heads (one fused all-to-all per tensor), computes plain
+    local attention, and swaps back. Two all-to-alls per Q/K/V/O versus ring's
+    n-1 ppermutes; the better choice when H is divisible by the mesh axis and
+    the per-device full-sequence K/V fits HBM. (SURVEY.md §2.3 table —
+    "Ulysses-style all-to-all head swap as alternative".)
+    """
+    n = mesh.shape[axis_name]
+    if q.shape[1] % n:
+        raise ValueError(f"ulysses needs heads % sp == 0, got {q.shape[1]} % {n}")
+    spec = P(None, None, axis_name, None)
+
+    def swap(x):  # [B, H, S/n, D] -> [B, H/n, S, D]
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    def local(q_l: jax.Array, k_l: jax.Array, v_l: jax.Array) -> jax.Array:
+        qh, kh, vh = swap(q_l), swap(k_l), swap(v_l)
+        scale = 1.0 / (qh.shape[-1] ** 0.5)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        return jax.lax.all_to_all(o, axis_name, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
+
+
 def sequence_sharded_attention(
     q: jax.Array,
     k: jax.Array,
@@ -136,8 +177,9 @@ def sequence_sharded_attention(
     axis_name: str = "sp",
     impl: str = "ring",
 ) -> jax.Array:
-    """Dispatch: ``impl`` in {'ring', 'allgather'}."""
-    fn = {"ring": ring_attention, "allgather": allgather_attention}.get(impl)
+    """Dispatch: ``impl`` in {'ring', 'allgather', 'ulysses'}."""
+    fn = {"ring": ring_attention, "allgather": allgather_attention,
+          "ulysses": ulysses_attention}.get(impl)
     if fn is None:
         raise ValueError(f"unknown sp attention impl {impl!r}")
     return fn(q, k, v, mesh, axis_name)

@@ -115,7 +115,23 @@ def check_sequence_parallel_attention():
         jax.jit(lambda q, k, v: sequence_sharded_attention(q, k, v, mesh, impl="ring"))(
             qb, kb, vb)).astype(np.float32)
     np.testing.assert_allclose(got_bf, want, rtol=0.05, atol=0.05)
-    print("sequence-parallel attention OK")
+
+    # Ulysses all-to-all head swap: needs heads % sp == 0 -> sp=4 mesh, h=4
+    mesh4 = make_sp_mesh(4)
+    want4 = np.asarray(xla_attention(q, k, v))
+    got_u = np.asarray(
+        jax.jit(lambda q, k, v: sequence_sharded_attention(
+            q, k, v, mesh4, impl="ulysses"))(q, k, v)
+    )
+    np.testing.assert_allclose(got_u, want4, rtol=1e-5, atol=1e-5)
+    try:
+        sequence_sharded_attention(q[:, :3], k[:, :3], v[:, :3], mesh4,
+                                   impl="ulysses")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("ulysses must reject heads % sp != 0")
+    print("sequence-parallel attention OK (ring, allgather, ulysses)")
 
 
 def main():
