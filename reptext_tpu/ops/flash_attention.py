@@ -56,13 +56,17 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int, scale: fl
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
 
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v.dtype), v,
+    # Normalize AFTER the PV matmul: dividing the [block_q, D] output costs
+    # block_q*D VPU divides instead of a block_q*S_pad full-width pass (36x
+    # fewer at S=4608, D=128) and avoids materializing a second logits-sized
+    # temporary in VMEM.
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
     # logsumexp per query row: the softmax statistic the backward pass needs
     # to recompute p = exp(logits - L) without a second max/sum reduction.
     l_ref[0, 0] = m + jnp.log(denom)
@@ -158,6 +162,9 @@ def _streaming_flash(q, k, v, block_q, block_kv, interpret):
             bytes_accessed=4 * b * h * s_pad * d * q.dtype.itemsize,
             transcendentals=b * h * s_pad * s_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(q, k, v)
     return out[:, :, :s, :], lse[:, :, :s, 0]
@@ -230,6 +237,9 @@ def _flash_attention_impl(
             flops=2 * 2 * b * h * s_pad * s_pad * d,
             bytes_accessed=(3 * b * h * s_pad * d + b * h * s_pad * d) * q.dtype.itemsize,
             transcendentals=b * h * s_pad * s_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(q, k, v)
