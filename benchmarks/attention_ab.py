@@ -64,20 +64,30 @@ def main():
     import gc
 
     print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
-    for lat in (64, 128, 192):  # 512^2, 1024^2, 1536^2 images
+    for lat in (64, 128, 192, 256):  # 512^2, 1024^2, 1536^2, 2048^2 images
         row = {}
-        for backend in ("xla", "pallas"):
+        # at 2048^2 (16896 joint tokens) the XLA einsum path needs a 27GB
+        # fp32 logits tensor — only the streaming Pallas kernel can run
+        backends = ("pallas",) if lat >= 256 else ("xla", "pallas")
+        for backend in backends:
             fn, params, hidden = build(backend, lat)
             row[backend] = timeit(fn, params, hidden)
             del fn, params, hidden
             gc.collect()
         s = 512 + (lat // 2) ** 2
-        print(
-            f"joint_seq={s:5d}: xla {row['xla']*1e3:7.2f}ms  "
-            f"pallas {row['pallas']*1e3:7.2f}ms  "
-            f"speedup {row['xla']/row['pallas']:.3f}x",
-            flush=True,
-        )
+        if "xla" in row:
+            print(
+                f"joint_seq={s:5d}: xla {row['xla']*1e3:7.2f}ms  "
+                f"pallas {row['pallas']*1e3:7.2f}ms  "
+                f"speedup {row['xla']/row['pallas']:.3f}x",
+                flush=True,
+            )
+        else:
+            print(
+                f"joint_seq={s:5d}: pallas {row['pallas']*1e3:7.2f}ms  "
+                f"(xla einsum infeasible: O(S^2) fp32 logits)",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

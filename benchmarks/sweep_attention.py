@@ -57,6 +57,53 @@ def main():
         results[f"pallas bq={block_q}"] = t
         print(f"pallas block_q={block_q}: {t*1e3:.3f} ms", flush=True)
 
+    # exp2 variant: TPU's native transcendental is exp2; fold ln2 into the
+    # scale so the softmax pass uses exp2 directly.
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _exp2_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+        q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * 1.4426950408889634)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp2(logits - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+
+    def exp2_attn(q, k, v, block_q=256):
+        b, h, s, d = q.shape
+        return pl.pallas_call(
+            ft.partial(_exp2_kernel, scale=1.0 / math.sqrt(d)),
+            out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            grid=(b, h, s // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda bi, hi, qi: (bi, hi, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")),
+        )(q, k, v)
+
+    t = timeit_chained(exp2_attn)
+    results["pallas exp2 bq=256"] = t
+    print(f"pallas exp2 bq=256: {t*1e3:.3f} ms", flush=True)
+
     def xla(q, k, v):
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
