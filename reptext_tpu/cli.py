@@ -68,6 +68,9 @@ def main(argv=None) -> int:
                         help="serve: max coalesced requests per sampler call")
     parser.add_argument("--batch-window", type=float, default=0.0,
                         help="serve: seconds to linger for burst coalescing")
+    parser.add_argument("--serve-inpaint", action="store_true",
+                        help="serve: also load the inpaint pipeline "
+                             "(POST /generate with mode=inpaint)")
     parser.add_argument("--image", default=None,
                         help="inpaint: input image path (resized to x64 dims)")
     parser.add_argument("--mask", default=None,
@@ -164,10 +167,20 @@ def main(argv=None) -> int:
         def tokenizer(prompt):
             return _tokenize(prompt, clip_cfg, t5_cfg, args.checkpoint_dir)
 
+        inpaint_pipeline = None
+        if args.serve_inpaint:
+            import dataclasses as _dc
+
+            from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
+            inpaint_pipeline = FluxRepTextInpaintPipeline.create_inpaint(
+                inpaint_cn_cfg=_dc.replace(cn_cfg, extra_condition_channels=4),
+                **create_kwargs,
+            )
+
         server = GenerationServer(
             pipeline, host=args.host, port=args.port, tokenizer=tokenizer,
             warmup=args.warmup, max_batch=args.max_batch,
-            batch_window_s=args.batch_window,
+            batch_window_s=args.batch_window, inpaint_pipeline=inpaint_pipeline,
         )
         host, port = server.address
         print(f"serving on http://{host}:{port} "
@@ -198,6 +211,11 @@ def main(argv=None) -> int:
 
         neg = args.negative_prompt or DEFAULT_NEGATIVE_PROMPT
         neg_clip, neg_t5 = _tokenize(neg, clip_cfg, t5_cfg, args.checkpoint_dir)
+        # true CFG concatenates [neg, pos] embeds -> equal seq lengths required
+        from reptext_tpu.text import pad_to_common_length
+
+        t5_ids, neg_t5 = pad_to_common_length(t5_ids, neg_t5)
+        clip_ids, neg_clip = pad_to_common_length(clip_ids, neg_clip)
         images = pipeline(
             conditions, image=image_arr, mask=mask_arr,
             clip_ids=clip_ids, t5_ids=t5_ids,

@@ -44,6 +44,10 @@ class GenerationRequest:
     seed: int = 42
     num_steps: Optional[int] = None
     guidance_scale: Optional[float] = None
+    mode: str = "txt2img"                  # "txt2img" | "inpaint"
+    image_b64: Optional[str] = None        # inpaint: base64 PNG input image
+    mask_b64: Optional[str] = None         # inpaint: base64 PNG white-on-black mask
+    negative_prompt: Optional[str] = None  # inpaint true-CFG negative
     _done: threading.Event = field(default_factory=threading.Event)
     _result: Optional[np.ndarray] = None
     _error: Optional[str] = None
@@ -63,8 +67,9 @@ class GenerationWorker:
 
     def __init__(self, pipeline, tokenizer=None, max_queue: int = 64,
                  max_batch: int = 4, batch_window_s: float = 0.0,
-                 metrics: Optional[Metrics] = None):
+                 metrics: Optional[Metrics] = None, inpaint_pipeline=None):
         self.pipeline = pipeline
+        self.inpaint_pipeline = inpaint_pipeline
         self.tokenizer = tokenizer  # callable(prompt) -> (clip_ids, t5_ids)
         self.requests: "queue.Queue[GenerationRequest]" = queue.Queue(max_queue)
         self.max_batch = max(1, max_batch)
@@ -110,7 +115,7 @@ class GenerationWorker:
 
     @staticmethod
     def _signature(req: GenerationRequest):
-        return (req.num_steps, req.guidance_scale, len(req.lines))
+        return (req.mode, req.num_steps, req.guidance_scale, len(req.lines))
 
     def _tokenize(self, prompt: str):
         if self.tokenizer is not None:
@@ -136,6 +141,9 @@ class GenerationWorker:
             except queue.Empty:
                 break
         lead = self._pending[0]
+        if lead.mode == "inpaint":
+            # dual-ControlNet CFG requests run serially (no batched path)
+            return [self._pending.pop(0)]
         sig = self._signature(lead)
         batch, rest = [], []
         for r in self._pending:
@@ -195,6 +203,56 @@ class GenerationWorker:
         for i, req in enumerate(batch):
             req._result = np.asarray(images[i])
 
+    def _run_inpaint(self, req: GenerationRequest) -> None:
+        """Text inpainting (reference infer_inpaint.py driver, served)."""
+        if self.inpaint_pipeline is None:
+            raise RuntimeError(
+                "server was started without an inpaint pipeline "
+                "(cli: --serve-inpaint)"
+            )
+        if not req.image_b64 or not req.mask_b64:
+            raise ValueError("inpaint requires image_b64 and mask_b64 (PNG)")
+        from PIL import Image
+
+        from reptext_tpu.conditioning import TextLine, build_conditions
+        from reptext_tpu.pipelines import DEFAULT_NEGATIVE_PROMPT
+
+        pipe = self.inpaint_pipeline
+        cfg = pipe.pipe_cfg
+        img = Image.open(io.BytesIO(base64.b64decode(req.image_b64)))
+        image = np.asarray(
+            img.convert("RGB").resize((cfg.width, cfg.height)), np.uint8
+        )
+        msk = Image.open(io.BytesIO(base64.b64decode(req.mask_b64)))
+        mask = np.asarray(
+            msk.convert("L").resize((cfg.width, cfg.height)), np.uint8
+        )
+        lines = [
+            TextLine(
+                l["text"], tuple(l["position"]),
+                tuple(l.get("color", (255, 255, 255))),
+                font_size=l.get("font_size"),
+            )
+            for l in req.lines
+        ]
+        conds = build_conditions(lines, cfg.width, cfg.height)
+        clip_ids, t5_ids = self._tokenize(req.prompt)
+        neg = req.negative_prompt or DEFAULT_NEGATIVE_PROMPT
+        neg_clip, neg_t5 = self._tokenize(neg)
+        # true CFG concatenates [neg, pos] embeds -> equal seq lengths required
+        from reptext_tpu.text import pad_to_common_length
+
+        t5_ids, neg_t5 = pad_to_common_length(t5_ids, neg_t5)
+        clip_ids, neg_clip = pad_to_common_length(clip_ids, neg_clip)
+        images = pipe(
+            conds, image=image, mask=mask,
+            clip_ids=clip_ids, t5_ids=t5_ids,
+            negative_clip_ids=neg_clip, negative_t5_ids=neg_t5,
+            seed=req.seed, num_inference_steps=req.num_steps,
+            guidance_scale=req.guidance_scale,
+        )
+        req._result = np.asarray(images[0])
+
     def _process_once(self) -> int:
         """One scheduling round: collect a batch, run it, resolve futures.
         Returns the number of requests served (0 if the queue was idle)."""
@@ -203,7 +261,9 @@ class GenerationWorker:
             return 0
         t0 = time.perf_counter()
         try:
-            if len(batch) == 1:
+            if len(batch) == 1 and batch[0].mode == "inpaint":
+                self._run_inpaint(batch[0])
+            elif len(batch) == 1:
                 # Single request: keep the exact __call__ semantics
                 # (img2img, callbacks live here; also the warmed-up graph).
                 req = batch[0]
@@ -285,12 +345,20 @@ def _make_handler(worker: GenerationWorker, timeout_s: float):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                mode = payload.get("mode", "txt2img")
+                if mode not in ("txt2img", "inpaint"):
+                    self._json(400, {"error": f"unknown mode {mode!r}"})
+                    return
                 req = GenerationRequest(
                     prompt=payload["prompt"],
                     lines=payload.get("lines", []),
                     seed=int(payload.get("seed", 42)),
                     num_steps=payload.get("num_steps"),
                     guidance_scale=payload.get("guidance_scale"),
+                    mode=mode,
+                    image_b64=payload.get("image_png_base64"),
+                    mask_b64=payload.get("mask_png_base64"),
+                    negative_prompt=payload.get("negative_prompt"),
                 )
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
@@ -324,10 +392,10 @@ class GenerationServer:
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8470,
                  tokenizer=None, request_timeout_s: float = 600.0,
                  warmup: bool = False, max_batch: int = 4,
-                 batch_window_s: float = 0.0):
+                 batch_window_s: float = 0.0, inpaint_pipeline=None):
         self.worker = GenerationWorker(
             pipeline, tokenizer, max_batch=max_batch,
-            batch_window_s=batch_window_s,
+            batch_window_s=batch_window_s, inpaint_pipeline=inpaint_pipeline,
         ).start()
         if warmup:
             self.worker.warmup()

@@ -116,3 +116,61 @@ def test_worker_splits_mismatched_signatures(server):
     assert r1._done.is_set() and not r2._done.is_set()
     assert worker._process_once() == 1  # r2 follows
     assert r2._done.is_set() and r2._error is None
+
+
+def test_unknown_mode_rejected(server):
+    status, data = _request(server, "POST", "/generate",
+                            {"prompt": "x", "mode": "video"})
+    assert status == 400 and "mode" in data["error"]
+
+
+def test_inpaint_request_roundtrip(server):
+    """Served inpaint: dual-ControlNet CFG request through the worker."""
+    import io as _io
+
+    import dataclasses
+    import numpy as np
+    from PIL import Image
+
+    from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+
+    inpaint_pipe = FluxRepTextInpaintPipeline.create_inpaint(
+        inpaint_cn_cfg=dataclasses.replace(
+            ControlNetConfig().tiny(), extra_condition_channels=4),
+        flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=H, width=W, num_inference_steps=2,
+                                controlnet_conditioning_step=1),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+    )
+    worker = GenerationWorker(server.worker.pipeline,
+                              inpaint_pipeline=inpaint_pipe)
+
+    def png_b64(arr):
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    img = np.full((H, W, 3), 128, np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[16:48, 16:48] = 255
+    req = GenerationRequest(
+        prompt="a sign", lines=[{"text": "Hi", "position": [8, 16]}],
+        mode="inpaint", image_b64=png_b64(img), mask_b64=png_b64(mask),
+    )
+    worker.submit(req)
+    assert worker._process_once() == 1
+    assert req._error is None, req._error
+    assert req._result.shape == (H, W, 3)
+
+
+def test_inpaint_without_pipeline_errors(server):
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+
+    worker = GenerationWorker(server.worker.pipeline)  # no inpaint pipeline
+    req = GenerationRequest(prompt="a", lines=[], mode="inpaint",
+                            image_b64="eA==", mask_b64="eA==")
+    worker.submit(req)
+    worker._process_once()
+    assert req._error and "inpaint pipeline" in req._error
