@@ -253,6 +253,15 @@ class GenerationWorker:
         )
         req._result = np.asarray(images[0])
 
+    @staticmethod
+    def _is_oom(e: Exception) -> bool:
+        """Device memory exhaustion (XLA RESOURCE_EXHAUSTED / HBM OOM)."""
+        msg = f"{type(e).__name__}: {e}"
+        return any(s in msg for s in (
+            "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+            "Attempting to allocate", "OOM",
+        ))
+
     def _process_once(self) -> int:
         """One scheduling round: collect a batch, run it, resolve futures.
         Returns the number of requests served (0 if the queue was idle)."""
@@ -295,16 +304,29 @@ class GenerationWorker:
             self.metrics.observe("serving.batch_size", float(len(batch)))
             self.metrics.observe("serving.generate_s", time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001 — report to client
+            if self._is_oom(e) and len(batch) > 1:
+                # Graceful HBM-OOM degradation: shrink the coalescing cap to
+                # half the failed batch and retry the same requests next round
+                # (no request fails or resolves; they re-batch under the
+                # smaller cap).
+                self.max_batch = max(1, len(batch) // 2)
+                self._pending = batch + self._pending
+                self.metrics.inc("serving.oom_batch_splits")
+                self.metrics.set("serving.max_batch", float(self.max_batch))
+                self.metrics.set("serving.queue_depth",
+                                 self.requests.qsize() + len(self._pending))
+                return 0
             msg = f"{type(e).__name__}: {e}"
             for req in batch:
                 req._error = msg
             self.failed += len(batch)
             self.metrics.inc("serving.requests_failed", len(batch))
-        finally:
-            self.metrics.set("serving.queue_depth",
-                             self.requests.qsize() + len(self._pending))
-            for req in batch:
-                req._done.set()
+            if self._is_oom(e):
+                self.metrics.inc("serving.oom_failures")
+        self.metrics.set("serving.queue_depth",
+                         self.requests.qsize() + len(self._pending))
+        for req in batch:
+            req._done.set()
         return len(batch)
 
     def _loop(self):

@@ -165,6 +165,66 @@ def test_inpaint_request_roundtrip(server):
     assert req._result.shape == (H, W, 3)
 
 
+def test_oom_batch_splits_and_requests_survive(server):
+    """A RESOURCE_EXHAUSTED batch shrinks the coalescing cap and the same
+    requests complete under the smaller cap — no request fails."""
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+    from reptext_tpu.utils.metrics import Metrics
+
+    real = server.worker.pipeline
+
+    class OOMBatchPipeline:
+        pipe_cfg = real.pipe_cfg
+        clip = real.clip
+        t5 = real.t5
+
+        def generate_batch(self, *a, **k):
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating 12345 bytes")
+
+        def __call__(self, *a, **k):
+            return real(*a, **k)
+
+    m = Metrics()
+    worker = GenerationWorker(OOMBatchPipeline(), max_batch=4, metrics=m)
+    r1 = GenerationRequest(prompt="a", lines=[{"text": "Hi", "position": [8, 16]}])
+    r2 = GenerationRequest(prompt="b", lines=[{"text": "Yo", "position": [4, 8]}])
+    worker.submit(r1)
+    worker.submit(r2)
+    assert worker._process_once() == 0          # OOM -> split, nothing resolves
+    assert worker.max_batch == 1
+    assert not r1._done.is_set() and not r2._done.is_set()
+    assert worker._process_once() == 1          # retried serially
+    assert worker._process_once() == 1
+    assert r1._error is None and r2._error is None, (r1._error, r2._error)
+    assert r1._result.shape == (H, W, 3) and r2._result.shape == (H, W, 3)
+    assert m.snapshot()["counters"]["serving.oom_batch_splits"] == 1
+    assert worker.failed == 0
+
+
+def test_oom_single_request_fails_cleanly(server):
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+    from reptext_tpu.utils.metrics import Metrics
+
+    real = server.worker.pipeline
+
+    class OOMPipeline:
+        pipe_cfg = real.pipe_cfg
+        clip = real.clip
+        t5 = real.t5
+
+        def __call__(self, *a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+
+    m = Metrics()
+    worker = GenerationWorker(OOMPipeline(), max_batch=2, metrics=m)
+    req = GenerationRequest(prompt="a", lines=[{"text": "Hi", "position": [8, 16]}])
+    worker.submit(req)
+    assert worker._process_once() == 1
+    assert req._done.is_set() and "RESOURCE_EXHAUSTED" in req._error
+    assert m.snapshot()["counters"]["serving.oom_failures"] == 1
+
+
 def test_inpaint_without_pipeline_errors(server):
     from reptext_tpu.serving import GenerationRequest, GenerationWorker
 
