@@ -394,8 +394,13 @@ def main(verbose: bool = False):
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
-    if os.path.isfile("results/fidelity.json"):
-        fid = json.loads(open("results/fidelity.json").read())
+    # freshest local fidelity run, else the committed artifact (results/ is
+    # gitignored; benchmarks/fidelity_latest.json travels with the repo)
+    fid_path = next((p for p in ("results/fidelity.json",
+                                 "benchmarks/fidelity_latest.json")
+                     if os.path.isfile(p)), None)
+    if fid_path:
+        fid = json.loads(open(fid_path).read())
         result["glyph_fidelity"] = {
             "mean_sampled_edge_iou": fid["mean_sampled_edge_iou"],
             "mean_sampled_ink_corr": fid["mean_sampled_ink_corr"],
