@@ -58,7 +58,8 @@ def main(argv=None) -> int:
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output", default="results/result.png")
-    parser.add_argument("--mode", choices=["txt2img", "inpaint", "serve"],
+    parser.add_argument("--mode",
+                        choices=["txt2img", "inpaint", "serve", "train"],
                         default="txt2img")
     parser.add_argument("--host", default="127.0.0.1", help="serve: bind host")
     parser.add_argument("--port", type=int, default=8470, help="serve: bind port")
@@ -78,6 +79,19 @@ def main(argv=None) -> int:
     parser.add_argument("--negative-prompt", default=None,
                         help="inpaint: CFG negative prompt (default: reference's)")
     parser.add_argument("--true-guidance-scale", type=float, default=1.0)
+    parser.add_argument("--train-steps", type=int, default=100,
+                        help="train: optimization steps")
+    parser.add_argument("--batch-size", type=int, default=2,
+                        help="train: samples per step")
+    parser.add_argument("--learning-rate", type=float, default=1e-5)
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--text-loss-weight", type=float, default=2.0,
+                        help="train: extra loss weight inside text-region tokens")
+    parser.add_argument("--checkpoint-every", type=int, default=50,
+                        help="train: steps between elastic restore points")
+    parser.add_argument("--train-dir", default=None,
+                        help="train: orbax restore-point/output directory "
+                             "(omit for in-memory restore points)")
     parser.add_argument("--checkpoint-dir", default=None,
                         help="directory with converted orbax/safetensors weights")
     parser.add_argument("--random-weights", action="store_true",
@@ -88,7 +102,7 @@ def main(argv=None) -> int:
                         help="disable Arabic shaping (reference raw behavior)")
     args = parser.parse_args(argv)
 
-    serve = args.mode == "serve"
+    serve = args.mode in ("serve", "train")
     if not serve:
         if not args.text or not args.position:
             parser.error("--text and --position are required for generation modes")
@@ -161,6 +175,9 @@ def main(argv=None) -> int:
     else:
         pipeline = FluxRepTextPipeline.create(**create_kwargs)
 
+    if args.mode == "train":
+        return _train(args, pipeline)
+
     if serve:
         from reptext_tpu.serving import GenerationServer
 
@@ -232,6 +249,67 @@ def main(argv=None) -> int:
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     Image.fromarray(images[0]).save(args.output)
     print(f"saved {args.output}")
+    return 0
+
+
+def _train(args, pipeline) -> int:
+    """ControlNet training driver (the reference has no training entry point;
+    recipe: sampling/train_controlnet.py over the data path in data.py)."""
+    import jax
+    import numpy as np
+
+    from reptext_tpu.data import GlyphTextDataset
+    from reptext_tpu.sampling.elastic import ElasticTrainer
+    from reptext_tpu.sampling.train_controlnet import (
+        bind_frozen_base, init_controlnet_training, make_controlnet_train_step,
+    )
+
+    flux_params = pipeline.params["flux"]
+    cn_cfg = pipeline.controlnet.config
+    cn_params, optimizer, opt_state = init_controlnet_training(
+        flux_params, pipeline.params["controlnet"],
+        cn_cfg.num_layers, cn_cfg.num_single_layers,
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+    )
+    dataset = GlyphTextDataset(
+        pipeline, batch_size=args.batch_size, font_path=args.font,
+        seed=args.seed,
+    )
+
+    def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
+        return pipeline.flux.apply(p, x, ctx, pooled, t, iid, tid, g,
+                                   controlnet_block_samples=br,
+                                   controlnet_single_block_samples=sr)
+
+    def cn_apply(p, x, cnd, ctx, pooled, t, iid, tid, g, scale):
+        return pipeline.controlnet.apply(p, x, cnd, ctx, pooled, t, iid, tid,
+                                         g, conditioning_scale=scale)
+
+    step = jax.jit(make_controlnet_train_step(
+        flux_apply, cn_apply, optimizer,
+        text_loss_weight=args.text_loss_weight,
+    ))
+    trainer = ElasticTrainer(
+        bind_frozen_base(step, flux_params),
+        batch_fn=dataset.batch,
+        checkpoint_dir=args.train_dir,
+        checkpoint_every=args.checkpoint_every,
+        on_event=lambda kind, info: print(f"[{kind}] {info}", flush=True),
+    )
+    cn_params, opt_state = trainer.run(
+        cn_params, opt_state, args.train_steps, jax.random.PRNGKey(args.seed)
+    )
+    losses = np.asarray(trainer.losses)
+    k = max(1, min(10, len(losses) // 4))
+    print(f"trained {args.train_steps} steps: "
+          f"loss(first {k} mean)={losses[:k].mean():.4f} -> "
+          f"loss(last {k} mean)={losses[-k:].mean():.4f}")
+    if args.train_dir:
+        from reptext_tpu.io.checkpoint import save_pipeline_params
+
+        out = os.path.join(args.train_dir, "controlnet_final")
+        save_pipeline_params({"controlnet": jax.device_get(cn_params)}, out)
+        print(f"saved trained ControlNet params to {out}")
     return 0
 
 

@@ -1,0 +1,79 @@
+"""Training data pipeline: determinism, shapes, and trainability."""
+
+import jax
+import numpy as np
+import pytest
+
+from reptext_tpu.configs import (
+    CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config, VAEConfig,
+)
+from reptext_tpu.data import GlyphTextDataset
+from reptext_tpu.pipelines import FluxRepTextPipeline
+
+H = W = 64
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    pipe = FluxRepTextPipeline.create(
+        flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=H, width=W, num_inference_steps=2,
+                                controlnet_conditioning_step=1),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+    )
+    return GlyphTextDataset(pipe, batch_size=2, seed=7)
+
+
+def test_batch_shapes(dataset):
+    cfg = dataset.pipe.pipe_cfg
+    s_img = cfg.image_seq_len
+    b = dataset.batch(0)
+    assert b["x0"].shape == (2, s_img, 64)
+    cn_cfg = dataset.pipe.controlnet.config
+    assert b["cond_tokens"].shape == (
+        2, s_img, cn_cfg.in_channels + cn_cfg.extra_condition_channels
+    )
+    assert b["token_mask"].shape == (2, s_img, 1)
+    assert b["prompt_embeds"].shape[0] == 2
+    assert b["guidance"].shape == (2,)
+    # masks are real text regions: nonzero somewhere, not everywhere
+    m = np.asarray(b["token_mask"])
+    assert 0 < m.sum() < m.size
+
+
+def test_step_indexed_determinism(dataset):
+    b1 = dataset.batch(3)
+    b2 = dataset.batch(3)
+    for k in ("x0", "cond_tokens", "token_mask", "prompt_embeds"):
+        np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+    b3 = dataset.batch(4)
+    assert not np.array_equal(np.asarray(b1["x0"]), np.asarray(b3["x0"]))
+
+
+def test_trainable_with_controlnet_step(dataset):
+    import optax
+
+    from reptext_tpu.sampling.train_controlnet import (
+        make_controlnet_train_step,
+    )
+
+    pipe = dataset.pipe
+    opt = optax.adam(1e-3)
+    cn_params = pipe.params["controlnet"]
+    opt_state = opt.init(cn_params)
+
+    def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
+        return pipe.flux.apply(p, x, ctx, pooled, t, iid, tid, g,
+                               controlnet_block_samples=br,
+                               controlnet_single_block_samples=sr)
+
+    def cn_apply(p, x, cnd, ctx, pooled, t, iid, tid, g, scale):
+        return pipe.controlnet.apply(p, x, cnd, ctx, pooled, t, iid, tid, g,
+                                     conditioning_scale=scale)
+
+    step = jax.jit(make_controlnet_train_step(flux_apply, cn_apply, opt))
+    batch = dataset.batch(0)
+    _, _, loss = step(cn_params, opt_state, pipe.params["flux"], batch,
+                      jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
