@@ -177,7 +177,16 @@ def sequence_sharded_attention(
     axis_name: str = "sp",
     impl: str = "ring",
 ) -> jax.Array:
-    """Dispatch: ``impl`` in {'ring', 'allgather', 'ulysses'}."""
+    """Dispatch: ``impl`` in {'ring', 'ring_pallas', 'allgather', 'ulysses'}.
+
+    ``ring_pallas`` is the fused kernel-level ring (ops/ring_attention.py):
+    RDMA K/V rotation overlapping flash-statistics compute inside one Pallas
+    program, instead of XLA-scheduled ppermutes.
+    """
+    if impl == "ring_pallas":
+        from reptext_tpu.ops.ring_attention import ring_flash_attention
+
+        return ring_flash_attention(q, k, v, mesh, axis_name)
     fn = {"ring": ring_attention, "allgather": allgather_attention,
           "ulysses": ulysses_attention}.get(impl)
     if fn is None:

@@ -100,7 +100,7 @@ def check_sequence_parallel_attention():
     want = np.asarray(xla_attention(q, k, v))
 
     mesh = make_sp_mesh(8)
-    for impl in ("ring", "allgather"):
+    for impl in ("ring", "ring_pallas", "allgather"):
         got = np.asarray(
             jax.jit(
                 lambda q, k, v, impl=impl: sequence_sharded_attention(
@@ -131,7 +131,8 @@ def check_sequence_parallel_attention():
         pass
     else:
         raise AssertionError("ulysses must reject heads % sp != 0")
-    print("sequence-parallel attention OK (ring, allgather, ulysses)")
+    print("sequence-parallel attention OK (ring, ring_pallas[interpret], "
+          "allgather, ulysses)")
 
 
 def check_pipeline_tp_inference():
