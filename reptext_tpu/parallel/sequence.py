@@ -86,11 +86,14 @@ def ring_attention(
             v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
             return o, m, l, k_nxt, v_nxt
 
-        # pvary: constant-initialized carries must be marked sp-varying to
-        # match the loop outputs under shard_map's varying-axis type system.
-        o0 = jax.lax.pvary(jnp.zeros((b, h, sq, d), jnp.float32), axis_name)
-        m0 = jax.lax.pvary(jnp.full((b, h, sq), -jnp.inf, jnp.float32), axis_name)
-        l0 = jax.lax.pvary(jnp.zeros((b, h, sq), jnp.float32), axis_name)
+        # constant-initialized carries must be marked sp-varying to match the
+        # loop outputs under shard_map's varying-axis type system.
+        def pvary(x):
+            return jax.lax.pcast(x, axis_name, to="varying")
+
+        o0 = pvary(jnp.zeros((b, h, sq, d), jnp.float32))
+        m0 = pvary(jnp.full((b, h, sq), -jnp.inf, jnp.float32))
+        l0 = pvary(jnp.zeros((b, h, sq), jnp.float32))
         o, _, l, _, _ = jax.lax.fori_loop(0, n, body, (o0, m0, l0, k_l, v_l))
         return (o / l[..., None]).astype(q_l.dtype)
 

@@ -146,6 +146,25 @@ class FluxRepTextPipeline:
             params["t5"] = t5.init(k_t5, jnp.zeros((1, 16), jnp.int32))
         return params
 
+    # ----------------------------------------------------------- resolutions
+
+    def with_resolution(self, height: int, width: int) -> "FluxRepTextPipeline":
+        """A pipeline view at another resolution SHARING this one's params.
+
+        All modules are shape-agnostic (convs + token-length-free attention),
+        so only ``pipe_cfg`` changes — no weight duplication; XLA compiles one
+        sampler per (resolution, steps) on first use. This is the serving
+        resolution-bucket mechanism (the reference fixes resolution in its
+        driver, RepText/infer.py:36).
+        """
+        if height % 16 or width % 16:
+            raise ValueError(f"height/width must be x16 (VAE f=8, 2x2 packing), "
+                             f"got {height}x{width}")
+        if (height, width) == (self.pipe_cfg.height, self.pipe_cfg.width):
+            return self
+        cfg = dataclasses.replace(self.pipe_cfg, height=height, width=width)
+        return dataclasses.replace(self, pipe_cfg=cfg)
+
     # -------------------------------------------------------------- sharding
 
     def shard_for_inference(self, mesh=None) -> "FluxRepTextPipeline":

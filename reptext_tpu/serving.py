@@ -44,6 +44,8 @@ class GenerationRequest:
     seed: int = 42
     num_steps: Optional[int] = None
     guidance_scale: Optional[float] = None
+    width: Optional[int] = None            # resolution bucket (x16; default cfg)
+    height: Optional[int] = None
     mode: str = "txt2img"                  # "txt2img" | "inpaint"
     image_b64: Optional[str] = None        # inpaint: base64 PNG input image
     mask_b64: Optional[str] = None         # inpaint: base64 PNG white-on-black mask
@@ -78,6 +80,7 @@ class GenerationWorker:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._pending: List[GenerationRequest] = []  # worker-thread only
+        self._res_pipelines: Dict = {}               # (h, w) -> pipeline view
         self.completed = 0
         self.failed = 0
         self.batches = 0
@@ -115,7 +118,22 @@ class GenerationWorker:
 
     @staticmethod
     def _signature(req: GenerationRequest):
-        return (req.mode, req.num_steps, req.guidance_scale, len(req.lines))
+        return (req.mode, req.num_steps, req.guidance_scale, len(req.lines),
+                req.width, req.height)
+
+    def _pipeline_for(self, req: GenerationRequest):
+        """Resolution-bucket routing: one pipeline view per (height, width),
+        all sharing the resident params (FluxRepTextPipeline.with_resolution).
+        """
+        if req.width is None and req.height is None:
+            return self.pipeline
+        cfg = self.pipeline.pipe_cfg
+        h = int(req.height or cfg.height)
+        w = int(req.width or cfg.width)
+        key = (h, w)
+        if key not in self._res_pipelines:
+            self._res_pipelines[key] = self.pipeline.with_resolution(h, w)
+        return self._res_pipelines[key]
 
     def _tokenize(self, prompt: str):
         if self.tokenizer is not None:
@@ -159,7 +177,8 @@ class GenerationWorker:
 
         import jax.numpy as jnp
 
-        cfg = self.pipeline.pipe_cfg
+        pipe = self._pipeline_for(batch[0])  # resolution is in the signature
+        cfg = pipe.pipe_cfg
         conds_list, clip_l, t5_l = [], [], []
         for req in batch:
             lines = [
@@ -195,7 +214,7 @@ class GenerationWorker:
         seeds = [r.seed for r in batch] + [batch[-1].seed] * pad
 
         lead = batch[0]
-        images = self.pipeline.generate_batch(
+        images = pipe.generate_batch(
             conds_list, clip_ids=clip_ids, t5_ids=t5_ids, seeds=seeds,
             num_inference_steps=lead.num_steps,
             guidance_scale=lead.guidance_scale,
@@ -278,7 +297,8 @@ class GenerationWorker:
                 req = batch[0]
                 from reptext_tpu.conditioning import TextLine, build_conditions
 
-                cfg = self.pipeline.pipe_cfg
+                pipe = self._pipeline_for(req)
+                cfg = pipe.pipe_cfg
                 lines = [
                     TextLine(
                         l["text"], tuple(l["position"]),
@@ -289,7 +309,7 @@ class GenerationWorker:
                 ]
                 conds = build_conditions(lines, cfg.width, cfg.height)
                 clip_ids, t5_ids = self._tokenize(req.prompt)
-                images = self.pipeline(
+                images = pipe(
                     conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=req.seed,
                     num_inference_steps=req.num_steps,
                     guidance_scale=req.guidance_scale,
@@ -377,6 +397,8 @@ def _make_handler(worker: GenerationWorker, timeout_s: float):
                     seed=int(payload.get("seed", 42)),
                     num_steps=payload.get("num_steps"),
                     guidance_scale=payload.get("guidance_scale"),
+                    width=payload.get("width"),
+                    height=payload.get("height"),
                     mode=mode,
                     image_b64=payload.get("image_png_base64"),
                     mask_b64=payload.get("mask_png_base64"),

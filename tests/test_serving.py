@@ -165,6 +165,29 @@ def test_inpaint_request_roundtrip(server):
     assert req._result.shape == (H, W, 3)
 
 
+def test_resolution_bucket_roundtrip(server):
+    """Per-request resolution rides a bucket pipeline sharing resident params."""
+    status, data = _request(server, "POST", "/generate", {
+        "prompt": "a sign",
+        "lines": [{"text": "Hi", "position": [8, 16], "font_size": 20}],
+        "width": 80,
+    })
+    assert status == 200, data
+    assert data["shape"] == [H, 80, 3]
+    # view pipelines share the resident params (no weight duplication)
+    view = server.worker._res_pipelines[(H, 80)]
+    assert view.params is server.worker.pipeline.params
+
+
+def test_resolution_must_be_multiple_of_16(server):
+    status, data = _request(server, "POST", "/generate", {
+        "prompt": "a sign",
+        "lines": [{"text": "Hi", "position": [8, 16]}],
+        "width": 50,
+    })
+    assert status == 500 and "x16" in data["error"]
+
+
 def test_oom_batch_splits_and_requests_survive(server):
     """A RESOURCE_EXHAUSTED batch shrinks the coalescing cap and the same
     requests complete under the smaller cap — no request fails."""
