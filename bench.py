@@ -62,7 +62,8 @@ def _depth_units(double: int, single: int) -> float:
     return double + single / 2
 
 
-def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B):
+def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B,
+               cn_extra: int = 64):
     from reptext_tpu.configs import ControlNetConfig, FluxConfig
     from reptext_tpu.models import FluxTransformer2D, RepTextControlNet
     from reptext_tpu.ops.latents import prepare_latent_image_ids
@@ -91,10 +92,13 @@ def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B):
         return fn, params, hidden
 
     cn_cfg = dataclasses.replace(
-        ControlNetConfig(), num_layers=CN_DOUBLE, num_single_layers=CN_SINGLE
+        ControlNetConfig(), num_layers=CN_DOUBLE, num_single_layers=CN_SINGLE,
+        extra_condition_channels=cn_extra,
     )
     cn = RepTextControlNet(cn_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    cond = jax.random.normal(rng, (batch, S_IMG, 128), jnp.bfloat16)
+    cond = jax.random.normal(
+        rng, (batch, S_IMG, 64 + cn_extra), jnp.bfloat16
+    )
     cn_params = jax.jit(cn.init)(
         rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids, guidance
     )
@@ -322,6 +326,17 @@ def main(verbose: bool = False):
     t_cn_step = measure("step+CN", lambda: build_step(*DEPTHS[0], True))
     cn_cost = max(t_cn_step - depth_ts[0], 0.0)
 
+    # ---- inpaint op-point components (BASELINE.md inpaint row;
+    # RepText/infer_inpaint.py:132-151): CFG batch 2 x (base + RepText CN +
+    # inpaint CN every step). All three full-width models at once exceed one
+    # 16GB chip, so the step is derived from parts each measured directly:
+    # the inpaint-CN marginal (68-feature cond embedder) and the measured
+    # CFG batch-2 time ratio.
+    t_icn_step = measure(
+        "step+inpaintCN", lambda: build_step(*DEPTHS[0], True, cn_extra=4)
+    )
+    icn_cost = max(t_icn_step - depth_ts[0], 0.0)
+
     # ---- REAL fused sampler (lax.scan, gating, masking) at reduced depth
     sampler_steps = 10
     log("building real sampler...")
@@ -384,6 +399,10 @@ def main(verbose: bool = False):
         "depth_fit_residual_frac": round(lin_residual, 4),
         "batch2_step_time_ratio": round(batch2_ratio, 4),
         "controlnet_marginal_ms": round(cn_cost * 1e3, 2),
+        "inpaint_cn_marginal_ms": round(icn_cost * 1e3, 2),
+        "inpaint_extrapolated_full_step_ms": round(
+            batch2_ratio * (t_full_base + cn_cost + icn_cost)
+            * sampler_factor * 1e3, 2),
         "sampler_measured_step_ms": round(sampler_step * 1e3, 2),
         "sampler_overhead_factor": round(sampler_factor, 4),
         "vae_decode_ms": round(t_vae_dec * 1e3, 2),

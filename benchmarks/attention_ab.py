@@ -60,21 +60,56 @@ def timeit(fn, params, hidden, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def build_grad(backend: str, lat: int):
+    """Training-path variant: value+grad of an MSE loss wrt params — times the
+    attention BACKWARD (Pallas blockwise dQ/dKV kernels vs the einsum VJP)
+    inside the real block stack."""
+    fn, params, hidden = build(backend, lat)
+
+    def loss(p, h):
+        out = fn(p, h)
+        return jnp.mean(jnp.square(out.astype(jnp.float32)))
+
+    def gstep(p, h):
+        l, g = jax.value_and_grad(loss)(p)
+        # fold the grads into a scalar so the chained-timing wrapper can
+        # carry a fixed-shape value and the tunnel fetch stays one scalar
+        return l + sum(
+            jnp.sum(x.astype(jnp.float32) ** 2)
+            for x in jax.tree_util.tree_leaves(g)
+        ) * 0.0
+
+    def as_hidden(p, h):  # match timeit's fn(p, h) -> like-h contract
+        return h + gstep(p, h).astype(h.dtype)
+
+    return as_hidden, params, hidden
+
+
 def main():
     import gc
 
-    print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
-    for lat in (64, 128, 192, 256):  # 512^2, 1024^2, 1536^2, 2048^2 images
+    grad_mode = "--grad" in sys.argv
+    builder = build_grad if grad_mode else build
+    print(f"backend={jax.default_backend()} device={jax.devices()[0]} "
+          f"mode={'grad' if grad_mode else 'fwd'}")
+    sizes = (64, 128) if grad_mode else (64, 128, 192, 256)
+    for lat in sizes:  # 512^2, 1024^2, 1536^2, 2048^2 images
         row = {}
         # at 2048^2 (16896 joint tokens) the XLA einsum path needs a 27GB
         # fp32 logits tensor — only the streaming Pallas kernel can run
         backends = ("pallas",) if lat >= 256 else ("xla", "pallas")
         for backend in backends:
-            fn, params, hidden = build(backend, lat)
-            row[backend] = timeit(fn, params, hidden)
+            fn, params, hidden = builder(backend, lat)
+            try:
+                row[backend] = timeit(fn, params, hidden)
+            except Exception as e:  # noqa: BLE001 — e.g. einsum-bwd residual OOM
+                print(f"joint_seq={512 + (lat // 2) ** 2}: {backend} "
+                      f"FAILED ({type(e).__name__})", flush=True)
             del fn, params, hidden
             gc.collect()
         s = 512 + (lat // 2) ** 2
+        if "pallas" not in row:
+            continue
         if "xla" in row:
             print(
                 f"joint_seq={s:5d}: xla {row['xla']*1e3:7.2f}ms  "

@@ -258,7 +258,7 @@ def _train(args, pipeline) -> int:
     import jax
     import numpy as np
 
-    from reptext_tpu.data import GlyphTextDataset
+    from reptext_tpu.data import GlyphTextDataset, PrefetchLoader
     from reptext_tpu.sampling.elastic import ElasticTrainer
     from reptext_tpu.sampling.train_controlnet import (
         bind_frozen_base, init_controlnet_training, make_controlnet_train_step,
@@ -289,16 +289,20 @@ def _train(args, pipeline) -> int:
         flux_apply, cn_apply, optimizer,
         text_loss_weight=args.text_loss_weight,
     ))
+    loader = PrefetchLoader(dataset.batch, depth=2)  # host build overlaps device step
     trainer = ElasticTrainer(
         bind_frozen_base(step, flux_params),
-        batch_fn=dataset.batch,
+        batch_fn=loader,
         checkpoint_dir=args.train_dir,
         checkpoint_every=args.checkpoint_every,
         on_event=lambda kind, info: print(f"[{kind}] {info}", flush=True),
     )
-    cn_params, opt_state = trainer.run(
-        cn_params, opt_state, args.train_steps, jax.random.PRNGKey(args.seed)
-    )
+    try:
+        cn_params, opt_state = trainer.run(
+            cn_params, opt_state, args.train_steps, jax.random.PRNGKey(args.seed)
+        )
+    finally:
+        loader.close()
     losses = np.asarray(trainer.losses)
     k = max(1, min(10, len(losses) // 4))
     print(f"trained {args.train_steps} steps: "

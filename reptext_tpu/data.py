@@ -20,7 +20,9 @@ derived from (seed, step), never from global state.
 
 from __future__ import annotations
 
+import queue
 import random
+import threading
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -169,3 +171,71 @@ class GlyphTextDataset:
         }
 
     __call__ = batch
+
+
+class PrefetchLoader:
+    """Step-indexed prefetch: build batch ``s+1..s+depth`` on a host thread
+    while the device runs step ``s``.
+
+    Wraps any step-indexed ``batch_fn`` (GlyphTextDataset or a corpus loader)
+    without changing the ElasticTrainer contract: ``loader(step)`` still
+    returns the batch for exactly ``step``. Rollback-and-replay works because
+    out-of-order requests (a rollback jumps backward) fall through to a
+    direct synchronous build; prefetch resumes from the new position.
+    """
+
+    def __init__(self, batch_fn: Callable[[int], Dict], depth: int = 2):
+        self.batch_fn = batch_fn
+        self.depth = max(1, depth)
+        self._q: "queue.Queue" = queue.Queue(self.depth)
+        self._thread: Optional[threading.Thread] = None
+        self._next_to_build = 0
+        self._stop = threading.Event()
+
+    def _worker(self, start: int, q: "queue.Queue", stop: threading.Event):
+        # q/stop are THIS generation's objects (a restart swaps self._q /
+        # self._stop; a stale worker must never feed the new queue)
+        step = start
+        while not stop.is_set():
+            try:
+                item = (step, self.batch_fn(step))
+            except Exception as e:  # surface build errors at consumption
+                item = (step, e)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            step += 1
+
+    def _restart(self, start: int):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._q = queue.Queue(self.depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._worker, args=(start, self._q, self._stop), daemon=True
+        )
+        self._next_to_build = start
+        self._thread.start()
+
+    def __call__(self, step: int) -> Dict:
+        if self._thread is None or step < self._next_to_build:
+            self._restart(step)  # cold start or rollback replay
+        while True:
+            got_step, item = self._q.get()
+            self._next_to_build = got_step + 1
+            if got_step == step:
+                if isinstance(item, Exception):
+                    raise item
+                return item
+            if got_step > step:  # shouldn't happen; rebuild directly
+                return self.batch_fn(step)
+            # got_step < step: stale prefetch (skipped ahead); drop and retry
+
+    def close(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)

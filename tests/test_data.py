@@ -51,6 +51,46 @@ def test_step_indexed_determinism(dataset):
     assert not np.array_equal(np.asarray(b1["x0"]), np.asarray(b3["x0"]))
 
 
+def test_prefetch_loader_sequential_and_rollback():
+    from reptext_tpu.data import PrefetchLoader
+
+    calls = []
+
+    def batch_fn(step):
+        calls.append(step)
+        return {"step": step}
+
+    loader = PrefetchLoader(batch_fn, depth=2)
+    try:
+        assert [loader(i)["step"] for i in range(5)] == list(range(5))
+        # rollback replay: jumping backward restarts prefetch at that step
+        assert loader(2)["step"] == 2
+        assert loader(3)["step"] == 3
+        # skipping forward drains stale prefetched steps
+        assert loader(6)["step"] == 6
+    finally:
+        loader.close()
+
+
+def test_prefetch_loader_propagates_errors():
+    from reptext_tpu.data import PrefetchLoader
+
+    def batch_fn(step):
+        if step == 1:
+            raise RuntimeError("bad batch")
+        return step
+
+    loader = PrefetchLoader(batch_fn, depth=1)
+    try:
+        assert loader(0) == 0
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="bad batch"):
+            loader(1)
+    finally:
+        loader.close()
+
+
 def test_trainable_with_controlnet_step(dataset):
     import optax
 
