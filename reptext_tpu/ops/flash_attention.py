@@ -38,35 +38,62 @@ def _round_up(x: int, m: int) -> int:
 _SINGLE_PASS_MAX_SEQ = 6144
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int, scale: float):
-    q = q_ref[0, 0]  # [block_q, D]
-    k = k_ref[0, 0]  # [S_pad, D]
-    v = v_ref[0, 0]  # [S_pad, D]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int,
+                 scale: float, n_chunks: int):
+    """Single grid step per (b, h, q-block); whole K/V VMEM-resident.
 
-    logits = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [block_q, S_pad]
+    The softmax scale is folded into q up front (one [block_q, D] multiply
+    instead of a [block_q, S] pass: 36x fewer VPU ops at S=4608, D=128), and
+    the K/V extent is processed as ``n_chunks`` statically-unrolled online-
+    softmax chunks. The unrolled body exposes chunk i's exp (VPU) and chunk
+    i+1's QK matmul (MXU) as independent instructions the VLIW scheduler can
+    overlap — measured 3.24 -> 2.86 ms at (24, 4608, 128), where the
+    single-chunk kernel is VPU-bound (benchmarks/exp_softmax_overlap.py).
+    """
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s_pad = k_ref.shape[2]
+    chunk = s_pad // n_chunks
 
-    if valid_len < k.shape[0]:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < valid_len, logits, -jnp.inf)
+    m = acc = denom = None
+    for ci in range(n_chunks):  # static unroll
+        k = k_ref[0, 0, ci * chunk:(ci + 1) * chunk, :]
+        v = v_ref[0, 0, ci * chunk:(ci + 1) * chunk, :]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, chunk]
+        if valid_len < (ci + 1) * chunk:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < valid_len - ci * chunk, logits, -jnp.inf)
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
+        m_c = jnp.max(logits, axis=-1, keepdims=True)
+        if m is None:
+            # First chunk always holds >=1 valid key (valid_len >= 1), so
+            # m is finite from here on and exp(-inf - m) == 0 for padding.
+            m_new = m_c
+            e = jnp.exp(logits - m_new)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                e.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_new = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_new)
+            e = jnp.exp(logits - m_new)
+            denom = denom * alpha + jnp.sum(e, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                e.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        m = m_new
 
     # Normalize AFTER the PV matmul: dividing the [block_q, D] output costs
-    # block_q*D VPU divides instead of a block_q*S_pad full-width pass (36x
-    # fewer at S=4608, D=128) and avoids materializing a second logits-sized
-    # temporary in VMEM.
-    o = jax.lax.dot_general(
-        e.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+    # block_q*D VPU divides instead of a block_q*S_pad full-width pass.
+    o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
     # logsumexp per query row: the softmax statistic the backward pass needs
     # to recompute p = exp(logits - L) without a second max/sum reduction.
     l_ref[0, 0] = m + jnp.log(denom)
@@ -174,7 +201,7 @@ def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = 256,
+    block_q: int = 768,
     interpret: bool = False,
 ) -> jax.Array:
     """Full (non-causal) MHA: [B, H, S, D] x3 -> ([B, H, S, D], lse [B, H, S]).
@@ -187,10 +214,14 @@ def _flash_attention_impl(
     """
     b, h, s, d = q.shape
     if s > _SINGLE_PASS_MAX_SEQ:
-        return _streaming_flash(q, k, v, block_q, 512, interpret)
+        return _streaming_flash(q, k, v, min(block_q, 256), 512, interpret)
     scale = 1.0 / math.sqrt(d)
 
     s_pad = _round_up(s, 128)
+    if s_pad > 4608:
+        # [block_q, chunk] fp32 logits tiles at block_q=768 exceed scoped
+        # VMEM past 4608 keys (measured OOM at 20.1M); shrink query blocks.
+        block_q = min(block_q, 512)
     block_q = min(block_q, s_pad)
     s_pad = _round_up(s_pad, block_q)
     if s_pad != s:
@@ -199,8 +230,13 @@ def _flash_attention_impl(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
+    # 3-way chunking needs 128-lane-aligned chunks; chunking below ~1152 keys
+    # has nothing to overlap (the whole softmax fits one VPU burst).
+    n_chunks = 3 if (s_pad % 384 == 0 and s_pad >= 1152) else 1
     grid = (b, h, s_pad // block_q)
-    kernel = functools.partial(_attn_kernel, valid_len=s, scale=scale)
+    kernel = functools.partial(
+        _attn_kernel, valid_len=s, scale=scale, n_chunks=n_chunks
+    )
 
     out, lse = pl.pallas_call(
         kernel,
