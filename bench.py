@@ -114,7 +114,8 @@ def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B,
     return fn, {"base": params, "cn": cn_params}, hidden
 
 
-def build_sampler(num_double: int, num_single: int, sampler_steps: int):
+def build_sampler(num_double: int, num_single: int, sampler_steps: int,
+                  vc_interval: int = 1, vc_warmup: int = 8):
     """The REAL production sampler graph (sampling/sampler.py): lax.scan over
     FlowMatch steps with step-gating, line-batched ControlNet + regional
     masking, Euler update — exactly what pipelines/txt2img.py runs."""
@@ -133,6 +134,7 @@ def build_sampler(num_double: int, num_single: int, sampler_steps: int):
     pipe_cfg = PipelineConfig(
         height=1024, width=1024, num_inference_steps=sampler_steps,
         controlnet_conditioning_step=sampler_steps,   # CN on all steps (op-point)
+        velocity_cache_interval=vc_interval, velocity_cache_warmup=vc_warmup,
     )
     model = FluxTransformer2D(flux_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     cn = RepTextControlNet(cn_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
@@ -349,6 +351,22 @@ def main(verbose: bool = False):
     # scan/masking/gating overhead relative to the bare step fn at same depth
     sampler_factor = sampler_step / t_cn_step
 
+    # ---- velocity-cached sampler (training-free step skipping, opt-in flag
+    # --velocity-cache-interval; NOT part of the headline, which stays at the
+    # reference op-point). 10 steps, warmup 3, interval 2 -> 7 computed steps:
+    # skipped steps should be ~free, so speedup ~= 10/7.
+    vc_computed = 3 + len(range(3, sampler_steps, 2))  # warmup + every 2nd
+    log("building velocity-cached sampler...")
+    fn_vc, p_vc, lat_vc = build_sampler(
+        *DEPTHS[0], sampler_steps, vc_interval=2, vc_warmup=3
+    )
+    t_sampler_vc = timeit(fn_vc, p_vc, lat_vc, iters=2, chain=False)
+    del fn_vc, p_vc, lat_vc
+    gc.collect()
+    vc_speedup = t_sampler / t_sampler_vc
+    log(f"velocity-cached sampler: {t_sampler_vc/sampler_steps*1e3:.1f}ms/step "
+        f"(speedup {vc_speedup:.3f}, ideal {sampler_steps/vc_computed:.3f})")
+
     # ---- per-image one-time costs
     log("building VAE decode...")
     fn_v, p_v, z = build_vae_decode()
@@ -405,6 +423,16 @@ def main(verbose: bool = False):
             * sampler_factor * 1e3, 2),
         "sampler_measured_step_ms": round(sampler_step * 1e3, 2),
         "sampler_overhead_factor": round(sampler_factor, 4),
+        # opt-in velocity caching (interval=2): measured sampler speedup at
+        # 10 steps, plus the implied op-point throughput at 30 steps where
+        # warmup=8/interval=2 computes 20 of 30 steps. Uses the MEASURED
+        # per-computed-step time (skip overhead included), depth-scaled like
+        # the headline.
+        "velocity_cache_sampler_speedup": round(vc_speedup, 4),
+        "images_per_min_velocity_cached": round(
+            60.0 / (20.0 * (t_sampler_vc / vc_computed)
+                    * (t_full_step / sampler_step)
+                    + t_vae_dec + 2 * t_vae_enc + t_text), 4),
         "vae_decode_ms": round(t_vae_dec * 1e3, 2),
         "vae_encode_ms": round(t_vae_enc * 1e3, 2),
         "text_encode_ms": round(t_text * 1e3, 2),

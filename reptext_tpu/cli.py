@@ -54,6 +54,11 @@ def main(argv=None) -> int:
     parser.add_argument("--controlnet-scale", type=float, default=1.0)
     parser.add_argument("--controlnet-step", type=int, default=30,
                         help="ControlNet active for the first N steps")
+    parser.add_argument("--velocity-cache-interval", type=int, default=1,
+                        help="run the transformer every k-th step after warmup, "
+                             "reusing the last velocity between (1 = off)")
+    parser.add_argument("--velocity-cache-warmup", type=int, default=8,
+                        help="full model steps before velocity caching kicks in")
     parser.add_argument("--font", default=None, help="TTF font path")
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
@@ -144,6 +149,8 @@ def main(argv=None) -> int:
         controlnet_conditioning_scale=args.controlnet_scale,
         controlnet_conditioning_step=args.controlnet_step,
         true_guidance_scale=args.true_guidance_scale,
+        velocity_cache_interval=args.velocity_cache_interval,
+        velocity_cache_warmup=args.velocity_cache_warmup,
     )
     if args.tiny:
         flux_cfg, cn_cfg = FluxConfig().tiny(), ControlNetConfig().tiny()

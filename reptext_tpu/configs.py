@@ -216,6 +216,14 @@ class PipelineConfig:
     # Inpaint-only: true CFG scale (reference: infer_inpaint.py:143 uses 1.0;
     # pipeline default 3.5, pipeline_flux_controlnet_inpaint.py:866).
     true_guidance_scale: float = 1.0
+    # Training-free velocity caching (FORA/TeaCache-style step skipping for
+    # rectified flow; absent in the reference — acceleration beyond the bf16
+    # roofline). interval=1 disables (default: every step runs the model).
+    # With interval=k, after `velocity_cache_warmup` full steps the
+    # transformer+ControlNet run only every k-th step; skipped steps reuse the
+    # last computed velocity in the Euler update. The final step always runs.
+    velocity_cache_interval: int = 1
+    velocity_cache_warmup: int = 8
 
     @property
     def vae_scale_factor(self) -> int:

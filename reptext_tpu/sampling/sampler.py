@@ -15,6 +15,12 @@ semantics:
   steps skip the ControlNet entirely at runtime.
 - Latents are carried in fp32 (Euler math), model inputs cast to the model
   compute dtype (bf16 on TPU).
+- Optional training-free velocity caching (``PipelineConfig.velocity_cache_*``,
+  FORA/TeaCache-style): after a warmup of full steps, the transformer runs
+  only every k-th step and skipped steps reuse the previous velocity — a
+  second ``lax.cond`` whose taken branch is the whole model forward, so
+  skipped steps cost one Euler update. Off by default (interval=1); the
+  reference has no analogue (acceleration beyond the per-step roofline).
 """
 
 from __future__ import annotations
@@ -47,6 +53,8 @@ def make_txt2img_sampler(
     num_steps = schedule.num_steps
     gate_step = min(pipe_cfg.controlnet_conditioning_step, num_steps)
     cond_scale = pipe_cfg.controlnet_conditioning_scale
+    vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
+    vc_warmup = max(getattr(pipe_cfg, "velocity_cache_warmup", 8), 1)
 
     def _scan_chunk(
         flux_params,
@@ -104,8 +112,9 @@ def make_txt2img_sampler(
 
             return mask_and_sum(block), mask_and_sum(single)
 
-        def step(carry, i):
-            lat = carry
+        def step(carry, scan_in):
+            lat, v_prev = carry
+            i, local = scan_in
             t_b = jnp.full((b,), timesteps[i] / 1000.0, compute_dtype)
             x_model = lat.astype(compute_dtype)
 
@@ -121,25 +130,42 @@ def make_txt2img_sampler(
                 )
                 return zb, zs
 
-            block_res, single_res = jax.lax.cond(
-                i < gate_step, with_cn, without_cn, operand=None
-            )
+            def compute_velocity(_):
+                block_res, single_res = jax.lax.cond(
+                    i < gate_step, with_cn, without_cn, operand=None
+                )
+                return flux_apply(
+                    flux_params,
+                    x_model,
+                    ctx,
+                    pooled,
+                    t_b,
+                    img_ids,
+                    txt_ids,
+                    guidance,
+                    block_res,
+                    single_res,
+                ).astype(jnp.float32)
 
-            velocity = flux_apply(
-                flux_params,
-                x_model,
-                ctx,
-                pooled,
-                t_b,
-                img_ids,
-                txt_ids,
-                guidance,
-                block_res,
-                single_res,
-            )
+            if vc_interval == 1:
+                velocity = compute_velocity(None)
+            else:
+                # Cache schedule over absolute step i; `local == 0` forces the
+                # first step of every scan chunk (the carried velocity is
+                # zeros at a chunk boundary, never a valid cache entry).
+                run = (
+                    (i < vc_warmup)
+                    | ((i - vc_warmup) % vc_interval == 0)
+                    | (i >= num_steps - 1)
+                    | (local == 0)
+                )
+                velocity = jax.lax.cond(
+                    run, compute_velocity, lambda _: v_prev, operand=None
+                )
+
             dt = sigmas[i + 1] - sigmas[i]
-            lat = lat + dt * velocity.astype(jnp.float32)
-            return lat, None
+            lat = lat + dt * velocity
+            return (lat, velocity), None
 
         # Residual stack shapes come from one abstract ControlNet eval.
         cn_shapes = jax.eval_shape(
@@ -152,7 +178,12 @@ def make_txt2img_sampler(
         inner_dim = cn_shapes[0].shape[-1]
 
         indices = jnp.arange(chunk_steps) + start_step
-        latents_out, _ = jax.lax.scan(step, latents.astype(jnp.float32), indices)
+        locals_ = jnp.arange(chunk_steps)
+        init = (
+            latents.astype(jnp.float32),
+            jnp.zeros(latents.shape, jnp.float32),  # velocity cache seed
+        )
+        (latents_out, _), _ = jax.lax.scan(step, init, (indices, locals_))
         return latents_out
 
     def sample(

@@ -53,6 +53,8 @@ def make_inpaint_sampler(
     gate_step = min(pipe_cfg.controlnet_conditioning_step, num_steps)
     cond_scale = pipe_cfg.controlnet_conditioning_scale
     true_scale = pipe_cfg.true_guidance_scale
+    vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
+    vc_warmup = max(getattr(pipe_cfg, "velocity_cache_warmup", 8), 1)
 
     def sample(
         flux_params,
@@ -105,7 +107,7 @@ def make_inpaint_sampler(
             return mask_and_sum(block), mask_and_sum(single)
 
         def step(carry, i):
-            lat = carry                                  # [B, S, C] fp32
+            lat, v_prev = carry                          # [B, S, C] fp32
             x2 = jnp.tile(lat, (2, 1, 1)).astype(compute_dtype)
             t2 = jnp.full((b2,), timesteps[i] / 1000.0, compute_dtype)
 
@@ -118,36 +120,53 @@ def make_inpaint_sampler(
                     jnp.zeros((rt_singles, b2, lat.shape[1], inner_dim), compute_dtype),
                 )
 
-            block_res, single_res = jax.lax.cond(
-                i < gate_step, with_rt, without_rt, operand=None
-            )
+            def compute_v_cfg(_):
+                block_res, single_res = jax.lax.cond(
+                    i < gate_step, with_rt, without_rt, operand=None
+                )
 
-            blk_i, sgl_i = inpaint_cn_apply(
-                inpaint_params, x2, cond_inp, ctx, pooled, t2,
-                img_ids, txt_ids, guidance2, inpaint_conditioning_scale,
-            )
-            # spread both stacks onto base injection slots, then sum
-            # (reference :1229-1248 sums the two residual lists)
-            block_all = (
-                _spread_residuals(block_res, base_num_layers)
-                + _spread_residuals(blk_i.astype(compute_dtype), base_num_layers)
-            )
-            single_all = (
-                _spread_residuals(single_res, base_num_single_layers)
-                + _spread_residuals(sgl_i.astype(compute_dtype), base_num_single_layers)
-            )
+                blk_i, sgl_i = inpaint_cn_apply(
+                    inpaint_params, x2, cond_inp, ctx, pooled, t2,
+                    img_ids, txt_ids, guidance2, inpaint_conditioning_scale,
+                )
+                # spread both stacks onto base injection slots, then sum
+                # (reference :1229-1248 sums the two residual lists)
+                block_all = (
+                    _spread_residuals(block_res, base_num_layers)
+                    + _spread_residuals(blk_i.astype(compute_dtype), base_num_layers)
+                )
+                single_all = (
+                    _spread_residuals(single_res, base_num_single_layers)
+                    + _spread_residuals(sgl_i.astype(compute_dtype),
+                                        base_num_single_layers)
+                )
 
-            velocity2 = flux_apply(
-                flux_params, x2, ctx, pooled, t2, img_ids, txt_ids, guidance2,
-                block_all, single_all,
-            ).astype(jnp.float32)
-            v_uncond, v_text = velocity2[:b], velocity2[b:]
-            v_cfg = v_uncond + true_scale * (v_text - v_uncond)
-            # step 0: zero velocity (reference :1264-1270)
+                velocity2 = flux_apply(
+                    flux_params, x2, ctx, pooled, t2, img_ids, txt_ids,
+                    guidance2, block_all, single_all,
+                ).astype(jnp.float32)
+                v_uncond, v_text = velocity2[:b], velocity2[b:]
+                return v_uncond + true_scale * (v_text - v_uncond)
+
+            if vc_interval == 1:
+                v_cfg = compute_v_cfg(None)
+            else:
+                # velocity caching (see sampler.py): warmup >= 1 always runs
+                # step 0, so the cache seed (zeros) is never consumed.
+                run = (
+                    (i < vc_warmup)
+                    | ((i - vc_warmup) % vc_interval == 0)
+                    | (i >= num_steps - 1)
+                )
+                v_cfg = jax.lax.cond(
+                    run, compute_v_cfg, lambda _: v_prev, operand=None
+                )
+            # step 0: zero velocity (reference :1264-1270) — applied OUTSIDE
+            # the cache so a skipped step 1+ never reuses the zeroed value.
             v = jnp.where(i > 0, v_cfg, jnp.zeros_like(v_cfg))
 
             dt = sigmas[i + 1] - sigmas[i]
-            return lat + dt * v, None
+            return (lat + dt * v, v_cfg), None
 
         rt_shapes = jax.eval_shape(
             run_reptext,
@@ -157,9 +176,11 @@ def make_inpaint_sampler(
         rt_layers, rt_singles = rt_shapes[0].shape[0], rt_shapes[1].shape[0]
         inner_dim = rt_shapes[0].shape[-1]
 
-        latents_out, _ = jax.lax.scan(
-            step, latents.astype(jnp.float32), jnp.arange(num_steps)
+        init = (
+            latents.astype(jnp.float32),
+            jnp.zeros(latents.shape, jnp.float32),  # velocity cache seed
         )
+        (latents_out, _), _ = jax.lax.scan(step, init, jnp.arange(num_steps))
         return latents_out
 
     return sample
