@@ -141,3 +141,26 @@ def test_union_mode_controlnet():
     params = model.init(jax.random.PRNGKey(2), **inputs)
     block, single = model.apply(params, **inputs)
     assert block.shape[2] == S_IMG  # residuals cover image tokens only
+
+
+def test_flux_schnell_no_guidance_embeds():
+    """FLUX.1-schnell geometry: guidance_embeds=False, guidance=None
+    (reference analogue: transformer config.guidance_embeds checked at
+    RepText/pipeline_flux_controlnet.py:1028-1032)."""
+    import dataclasses
+    cfg = dataclasses.replace(FLUX_CFG, guidance_embeds=False)
+    model = FluxTransformer2D(cfg)
+    inputs = _flux_inputs()
+    inputs["guidance"] = None
+    params = model.init(jax.random.PRNGKey(3), **inputs)
+    out = model.apply(params, **inputs)
+    assert out.shape == (B, S_IMG, cfg.out_channels)
+    assert jnp.isfinite(out).all()
+    # guidance value must not leak into the graph: passing one anyway fails
+    # loudly or is ignored — the embedder raises when required and absent.
+    with pytest.raises(ValueError):
+        bad = dataclasses.replace(FLUX_CFG, guidance_embeds=True)
+        m2 = FluxTransformer2D(bad)
+        i2 = _flux_inputs()
+        i2["guidance"] = None
+        m2.init(jax.random.PRNGKey(4), **i2)
