@@ -70,6 +70,42 @@ def _rms(state, name):
     return {"weight": state[f"{name}.weight"]}
 
 
+def _deinterleave(d: int) -> np.ndarray:
+    """Pair (2j, 2j+1) -> (j, j + d/2): interleaved -> half-split channels."""
+    return np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+
+
+def _lin_rope(state, name, head_dim: int):
+    """torch q/k Linear with the RoPE deinterleave permutation folded in.
+
+    Attention logits are invariant under a fixed permutation applied to both
+    q and k head channels, so converting checkpoints to the framework's
+    half-split RoPE layout (ops/rope.py) is pure weight surgery: permute the
+    projection's output channels per head (and its bias).
+    """
+    perm = _deinterleave(head_dim)
+    w = state[f"{name}.weight"]          # [out, in] torch layout
+    out_dim = w.shape[0]
+    wp = (
+        w.reshape(out_dim // head_dim, head_dim, -1)[:, perm, :]
+        .reshape(out_dim, -1)
+    )
+    out = {"kernel": np.ascontiguousarray(wp.T)}
+    if f"{name}.bias" in state:
+        b = state[f"{name}.bias"]
+        out["bias"] = np.ascontiguousarray(
+            b.reshape(-1, head_dim)[:, perm].reshape(-1)
+        )
+    return out
+
+
+def _rms_rope(state, name, head_dim: int):
+    """Per-head q/k RMSNorm scale, permuted to half-split channel order."""
+    return {"weight": np.ascontiguousarray(
+        state[f"{name}.weight"][_deinterleave(head_dim)]
+    )}
+
+
 def _stack(trees: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack a list of identical pytrees along a new leading axis."""
     out: Dict[str, Any] = {}
@@ -85,21 +121,23 @@ def _stack(trees: List[Dict[str, Any]]) -> Dict[str, Any]:
 # ---------------------------------------------------------------- FLUX MMDiT
 
 
-def _double_block(state, prefix: str) -> Dict[str, Any]:
+def _double_block(state, prefix: str, head_dim: int = 128) -> Dict[str, Any]:
     a = f"{prefix}.attn"
     return {
         "norm1": {"linear": _lin(state, f"{prefix}.norm1.linear")},
         "norm1_context": {"linear": _lin(state, f"{prefix}.norm1_context.linear")},
-        "to_q": _lin(state, f"{a}.to_q"),
-        "to_k": _lin(state, f"{a}.to_k"),
+        # q/k projections + norms fold the RoPE half-split permutation
+        # (_lin_rope docstring; ops/rope.py layout note)
+        "to_q": _lin_rope(state, f"{a}.to_q", head_dim),
+        "to_k": _lin_rope(state, f"{a}.to_k", head_dim),
         "to_v": _lin(state, f"{a}.to_v"),
-        "add_q_proj": _lin(state, f"{a}.add_q_proj"),
-        "add_k_proj": _lin(state, f"{a}.add_k_proj"),
+        "add_q_proj": _lin_rope(state, f"{a}.add_q_proj", head_dim),
+        "add_k_proj": _lin_rope(state, f"{a}.add_k_proj", head_dim),
         "add_v_proj": _lin(state, f"{a}.add_v_proj"),
-        "norm_q": _rms(state, f"{a}.norm_q"),
-        "norm_k": _rms(state, f"{a}.norm_k"),
-        "norm_added_q": _rms(state, f"{a}.norm_added_q"),
-        "norm_added_k": _rms(state, f"{a}.norm_added_k"),
+        "norm_q": _rms_rope(state, f"{a}.norm_q", head_dim),
+        "norm_k": _rms_rope(state, f"{a}.norm_k", head_dim),
+        "norm_added_q": _rms_rope(state, f"{a}.norm_added_q", head_dim),
+        "norm_added_k": _rms_rope(state, f"{a}.norm_added_k", head_dim),
         "to_out": _lin(state, f"{a}.to_out.0"),
         "to_add_out": _lin(state, f"{a}.to_add_out"),
         "ff": {
@@ -113,17 +151,17 @@ def _double_block(state, prefix: str) -> Dict[str, Any]:
     }
 
 
-def _single_block(state, prefix: str) -> Dict[str, Any]:
+def _single_block(state, prefix: str, head_dim: int = 128) -> Dict[str, Any]:
     a = f"{prefix}.attn"
     return {
         "norm": {"linear": _lin(state, f"{prefix}.norm.linear")},
         "proj_mlp": _lin(state, f"{prefix}.proj_mlp"),
         "proj_out": _lin(state, f"{prefix}.proj_out"),
-        "to_q": _lin(state, f"{a}.to_q"),
-        "to_k": _lin(state, f"{a}.to_k"),
+        "to_q": _lin_rope(state, f"{a}.to_q", head_dim),
+        "to_k": _lin_rope(state, f"{a}.to_k", head_dim),
         "to_v": _lin(state, f"{a}.to_v"),
-        "norm_q": _rms(state, f"{a}.norm_q"),
-        "norm_k": _rms(state, f"{a}.norm_k"),
+        "norm_q": _rms_rope(state, f"{a}.norm_q", head_dim),
+        "norm_k": _rms_rope(state, f"{a}.norm_k", head_dim),
     }
 
 
@@ -149,10 +187,11 @@ def _time_text_embed(state, guidance_embeds: bool) -> Dict[str, Any]:
 
 def convert_flux_transformer(state: Dict[str, np.ndarray], cfg: FluxConfig) -> Dict:
     doubles = _stack(
-        [_double_block(state, f"transformer_blocks.{i}") for i in range(cfg.num_layers)]
+        [_double_block(state, f"transformer_blocks.{i}", cfg.attention_head_dim)
+         for i in range(cfg.num_layers)]
     )
     singles = _stack(
-        [_single_block(state, f"single_transformer_blocks.{i}")
+        [_single_block(state, f"single_transformer_blocks.{i}", cfg.attention_head_dim)
          for i in range(cfg.num_single_layers)]
     )
     params = {
@@ -169,12 +208,12 @@ def convert_flux_transformer(state: Dict[str, np.ndarray], cfg: FluxConfig) -> D
 
 def convert_controlnet(state: Dict[str, np.ndarray], cfg: ControlNetConfig) -> Dict:
     doubles = [
-        {**{"block": _double_block(state, f"transformer_blocks.{i}")},
+        {**{"block": _double_block(state, f"transformer_blocks.{i}", cfg.attention_head_dim)},
          "proj": _lin(state, f"controlnet_blocks.{i}")}
         for i in range(cfg.num_layers)
     ]
     singles = [
-        {**{"block": _single_block(state, f"single_transformer_blocks.{i}")},
+        {**{"block": _single_block(state, f"single_transformer_blocks.{i}", cfg.attention_head_dim)},
          "proj": _lin(state, f"controlnet_single_blocks.{i}")}
         for i in range(cfg.num_single_layers)
     ]

@@ -102,10 +102,19 @@ def parse_lora_state(
     return out
 
 
+# q/k projection leaves whose converted kernels carry the RoPE half-split
+# channel permutation (io/convert.py::_lin_rope) — LoRA deltas targeting them
+# must be permuted identically before merging.
+_ROPE_PERMUTED_LEAVES = frozenset({"to_q", "to_k", "add_q_proj", "add_k_proj"})
+
+
 def apply_lora(params: Dict[str, Any], lora_state: Dict[str, np.ndarray],
-               scale: float = 1.0, prefix: str = "transformer.") -> Dict[str, Any]:
+               scale: float = 1.0, prefix: str = "transformer.",
+               head_dim: int = 128) -> Dict[str, Any]:
     """Merge LoRA deltas into a (possibly scanned) param tree; returns new tree."""
     import jax
+
+    from reptext_tpu.io.convert import _deinterleave
 
     grouped = parse_lora_state(lora_state, prefix)
     tree = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy of leaves
@@ -116,12 +125,17 @@ def apply_lora(params: Dict[str, Any], lora_state: Dict[str, np.ndarray],
             node = node[key]
         return node, path[-1]
 
+    perm = _deinterleave(head_dim)
     for path, layers in grouped.items():
         node, leaf = get_node(tree, path)
         kernel = np.array(node[leaf]["kernel"])  # [L?, in, out]
         stacked = kernel.ndim == 3
         for layer, (a, b) in layers.items():
             delta = (b.astype(np.float32) @ a.astype(np.float32)).T * scale  # [in, out]
+            if leaf in _ROPE_PERMUTED_LEAVES:
+                in_dim, out_dim = delta.shape
+                delta = delta.reshape(in_dim, out_dim // head_dim, head_dim)[
+                    :, :, perm].reshape(in_dim, out_dim)
             if stacked:
                 if layer < 0:
                     raise ValueError(f"stacked module {path} needs a layer index")

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from reptext_tpu.configs import ControlNetConfig
 from reptext_tpu.nn.blocks import JointTransformerBlock, SingleTransformerBlock
 from reptext_tpu.nn.embeddings import CombinedTimestepTextEmbed
-from reptext_tpu.ops.rope import rope_cos_sin
+from reptext_tpu.ops.rope import rope_cos_sin_half
 
 Dtype = Any
 
@@ -152,7 +152,7 @@ class RepTextControlNet(nn.Module):
             txt_ids = jnp.concatenate([txt_ids[:1], txt_ids], axis=0)
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
-        cos, sin = rope_cos_sin(ids, cfg.axes_dims_rope, cfg.rope_theta)
+        cos, sin = rope_cos_sin_half(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
         double_layer = (nn.remat(_ControlDoubleLayer, prevent_cse=False)
                         if self.remat else _ControlDoubleLayer)

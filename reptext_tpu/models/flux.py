@@ -28,7 +28,7 @@ from reptext_tpu.configs import FluxConfig
 from reptext_tpu.nn.blocks import JointTransformerBlock, SingleTransformerBlock
 from reptext_tpu.nn.embeddings import CombinedTimestepTextEmbed
 from reptext_tpu.nn.layers import AdaLayerNormContinuous
-from reptext_tpu.ops.rope import rope_cos_sin
+from reptext_tpu.ops.rope import rope_cos_sin_half
 
 Dtype = Any
 
@@ -145,7 +145,7 @@ class FluxTransformer2D(nn.Module):
         ctx = dense(cfg.inner_dim, "context_embedder")(encoder_hidden_states)
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
-        cos, sin = rope_cos_sin(ids, cfg.axes_dims_rope, cfg.rope_theta)
+        cos, sin = rope_cos_sin_half(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
         double_inject = None
         if controlnet_block_samples is not None:

@@ -6,7 +6,8 @@ RepText/controlnet_flux.py:29):
 
 - Double block: AdaLN-Zero per stream; joint attention where the text stream
   contributes additional K/V/Q projections, sequences concatenated [text; image]
-  with 3D RoPE over the combined ids; gated residuals; per-stream gelu-tanh FF.
+  with 3D RoPE over the combined ids (half-split layout, rotated inside
+  the attention op); gated residuals; per-stream gelu-tanh FF.
 - Single block: one AdaLN; parallel attention + MLP branches concatenated and
   projected out jointly; gated residual.
 
@@ -31,7 +32,6 @@ from reptext_tpu.nn.layers import (
     layer_norm_no_affine,
 )
 from reptext_tpu.ops.attention import attention
-from reptext_tpu.ops.rope import apply_rope
 
 Dtype = Any
 
@@ -94,14 +94,14 @@ class JointTransformerBlock(nn.Module):
         q_i, k_i = rms("norm_q")(q_i), rms("norm_k")(k_i)
         q_t, k_t = rms("norm_added_q")(q_t), rms("norm_added_k")(k_t)
 
-        # Joint sequence: [text; image]
+        # Joint sequence: [text; image]. RoPE (half-split layout) is applied
+        # inside attention — fused into the Pallas kernel on TPU.
         q = jnp.concatenate([q_t, q_i], axis=2)
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
 
-        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend))
+        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend,
+                                      rope_cos=rope_cos, rope_sin=rope_sin))
         txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
 
         # Image stream: gated attention + FF
@@ -166,10 +166,9 @@ class SingleTransformerBlock(nn.Module):
         v = _split_heads(dense(inner, "to_v")(normed), self.num_heads)
         q = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_q")(q)
         k = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_k")(k)
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
 
-        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend))
+        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend,
+                                      rope_cos=rope_cos, rope_sin=rope_sin))
 
         joint = jnp.concatenate([attn, mlp], axis=-1)
         out = dense(self.dim, "proj_out")(joint)

@@ -9,4 +9,7 @@ from reptext_tpu.ops.latents import (  # noqa: F401
 from reptext_tpu.ops.rope import (  # noqa: F401
     rope_cos_sin,
     apply_rope,
+    rope_cos_sin_half,
+    apply_rope_half,
+    deinterleave_perm,
 )

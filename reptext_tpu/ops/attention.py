@@ -54,11 +54,27 @@ def attention(
     k: jax.Array,
     v: jax.Array,
     backend: Optional[str] = None,
+    rope_cos: Optional[jax.Array] = None,
+    rope_sin: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Multi-head attention over [B, H, S, D] tensors (full, non-causal)."""
+    """Multi-head attention over [B, H, S, D] tensors (full, non-causal).
+
+    When half-split rope tables are passed, q/k must be UNROTATED (half-split
+    channel order); the pallas backend fuses the rotation into the kernel
+    (rotated q/k never round-trip HBM) and the xla backend rotates explicitly.
+    """
     b = _resolve(backend)
     if b == "xla":
+        if rope_cos is not None:
+            from reptext_tpu.ops.rope import apply_rope_half
+
+            q = apply_rope_half(q, rope_cos, rope_sin)
+            k = apply_rope_half(k, rope_cos, rope_sin)
         return xla_attention(q, k, v)
+    if rope_cos is not None:
+        from reptext_tpu.ops.flash_attention import flash_attention_rope
+
+        return flash_attention_rope(q, k, v, rope_cos, rope_sin)
     from reptext_tpu.ops.flash_attention import flash_attention
 
     return flash_attention(q, k, v)

@@ -99,6 +99,71 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int,
     l_ref[0, 0] = m + jnp.log(denom)
 
 
+def _attn_kernel_rope(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
+                      ksin_ref, o_ref, l_ref, *, valid_len: int, scale: float,
+                      n_chunks: int):
+    """Chunked online-softmax kernel with RoPE fused (half-split layout).
+
+    q/k arrive UNROTATED in half-split channel order; rotation happens on the
+    VMEM-resident tiles — the rotated tensors never round-trip HBM, which is
+    where the XLA apply_rope cost lives (measured 4.15 -> 2.88 ms at
+    (24, 4608, 128) including rotation, benchmarks/exp_softmax_overlap.py
+    lineage). Tables are bf16 ([-1,1] values: representation error matches
+    the bf16 q/k storage error). Rotate-half is a contiguous half swap; the
+    k rotation repeats per q-block but is negligible VPU work (S*D vs the
+    bq*S softmax).
+    """
+    d = q_ref.shape[-1]
+    d2 = d // 2
+    q0 = q_ref[0, 0].astype(jnp.float32)
+    qrot = jnp.concatenate([-q0[:, d2:], q0[:, :d2]], axis=-1)
+    q = ((q0 * qcos_ref[...] + qrot * qsin_ref[...]) * scale).astype(q_ref.dtype)
+
+    s_pad = k_ref.shape[2]
+    chunk = s_pad // n_chunks
+    m = acc = denom = None
+    for ci in range(n_chunks):  # static unroll (VPU/MXU overlap, see above)
+        k0 = k_ref[0, 0, ci * chunk:(ci + 1) * chunk, :].astype(jnp.float32)
+        cc = kcos_ref[ci * chunk:(ci + 1) * chunk, :]
+        sc = ksin_ref[ci * chunk:(ci + 1) * chunk, :]
+        krot = jnp.concatenate([-k0[:, d2:], k0[:, :d2]], axis=-1)
+        k = (k0 * cc + krot * sc).astype(k_ref.dtype)
+        v = v_ref[0, 0, ci * chunk:(ci + 1) * chunk, :]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if valid_len < (ci + 1) * chunk:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < valid_len - ci * chunk, logits, -jnp.inf)
+
+        m_c = jnp.max(logits, axis=-1, keepdims=True)
+        if m is None:
+            m_new = m_c
+            e = jnp.exp(logits - m_new)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                e.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_new = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_new)
+            e = jnp.exp(logits - m_new)
+            denom = denom * alpha + jnp.sum(e, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                e.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        m = m_new
+
+    o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
+    l_ref[0, 0] = m + jnp.log(denom)
+
+
 def _streaming_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_scr, l_scr, acc_scr,
                       *, valid_len: int, scale: float, block_kv: int):
     """Online-softmax flash attention: kv chunks stream through VMEM.
@@ -281,6 +346,137 @@ def _flash_attention_impl(
     )(q, k, v)
 
     return out[:, :, :s, :], lse[:, :, :s, 0]
+
+
+def _flash_attention_rope_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    block_q: int = 512,
+    interpret: bool = False,
+):
+    """Flash attention with RoPE (half-split) fused into the kernel.
+
+    q/k are UNROTATED, in half-split channel order (io/convert.py folds the
+    deinterleave permutation into checkpoint q/k weights). Falls back to an
+    XLA pre-rotation + the plain kernel when the single-pass kernel does not
+    apply (long sequences -> streaming) or chunking is unavailable.
+    block_q defaults to 512: the rope tables take VMEM that the 768 default
+    of the plain kernel would overflow (measured 23.5M > 16M).
+    """
+    from reptext_tpu.ops.rope import apply_rope_half
+
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, 128)
+    block_q = min(block_q, s_pad)
+    s_pad_final = _round_up(s_pad, block_q)
+    n_chunks = 3 if (s_pad_final % 384 == 0 and s_pad_final >= 1152) else 1
+    if s > _SINGLE_PASS_MAX_SEQ or n_chunks == 1:
+        # streaming or tiny path: rotate in XLA (cheap relative to, resp.,
+        # the streaming loop and tiny shapes)
+        q_rot = apply_rope_half(q, rope_cos, rope_sin)
+        k_rot = apply_rope_half(k, rope_cos, rope_sin)
+        return _flash_attention_impl(q_rot, k_rot, v, block_q, interpret)
+    s_pad = s_pad_final
+
+    scale = 1.0 / math.sqrt(d)
+    cos_b = rope_cos.astype(jnp.bfloat16)
+    sin_b = rope_sin.astype(jnp.bfloat16)
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        pad2 = [(0, s_pad - s), (0, 0)]
+        cos_b, sin_b = jnp.pad(cos_b, pad2), jnp.pad(sin_b, pad2)
+
+    grid = (b, h, s_pad // block_q)
+    kernel = functools.partial(
+        _attn_kernel_rope, valid_len=s, scale=scale, n_chunks=n_chunks
+    )
+    row4 = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                        memory_space=pltpu.VMEM)
+    full4 = pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qtbl = pl.BlockSpec((block_q, d), lambda bi, hi, qi: (qi, 0),
+                        memory_space=pltpu.VMEM)
+    ktbl = pl.BlockSpec((s_pad, d), lambda bi, hi, qi: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[row4, full4, full4, qtbl, qtbl, ktbl, ktbl],
+        out_specs=(
+            row4,
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * s_pad * s_pad * d,
+            bytes_accessed=4 * b * h * s_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v, cos_b, sin_b, cos_b, sin_b)
+    return out[:, :, :s, :], lse[:, :, :s, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_rope(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    block_q: int = 512,
+    interpret: bool = False,
+    backward: str = "pallas",
+) -> jax.Array:
+    """RoPE-fused flash attention; q/k unrotated, half-split channel order.
+
+    Gradients flow to q/k/v; the cos/sin tables are positional constants
+    (built from integer ids) and receive zero gradients.
+    """
+    out, _ = _flash_attention_rope_impl(q, k, v, rope_cos, rope_sin,
+                                        block_q, interpret)
+    return out
+
+
+def _rope_fwd(q, k, v, rope_cos, rope_sin, block_q, interpret, backward):
+    out, lse = _flash_attention_rope_impl(q, k, v, rope_cos, rope_sin,
+                                          block_q, interpret)
+    return out, (q, k, v, rope_cos, rope_sin, out, lse)
+
+
+def _rope_bwd(block_q, interpret, backward, residuals, g):
+    from reptext_tpu.ops.rope import apply_rope_half
+
+    q, k, v, rope_cos, rope_sin, out, lse = residuals
+    # The rotation R is linear and orthogonal per 2-channel pair; with the
+    # table halves equal (rope_cos_sin_half), R^T == rotation by -theta, so
+    # dq = R^T(dq_rot) = apply_rope_half(dq_rot, cos, -sin).
+    q_rot = apply_rope_half(q, rope_cos, rope_sin)
+    k_rot = apply_rope_half(k, rope_cos, rope_sin)
+    if backward == "einsum":
+        dq_rot, dk_rot, dv = _flash_backward_einsum(q_rot, k_rot, v, g)
+    else:
+        dq_rot, dk_rot, dv = _flash_backward_pallas(
+            q_rot, k_rot, v, out, lse, g, block_q, interpret
+        )
+    dq = apply_rope_half(dq_rot, rope_cos, -rope_sin)
+    dk = apply_rope_half(dk_rot, rope_cos, -rope_sin)
+    return dq, dk, dv, jnp.zeros_like(rope_cos), jnp.zeros_like(rope_sin)
+
+
+flash_attention_rope.defvjp(_rope_fwd, _rope_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,67 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
     out = xf * cos + _rotate_half_interleaved(xf) * sin
     return out.astype(orig_dtype)
+
+
+# --------------------------------------------------------------------------
+# Half-split layout — the framework-native q/k channel order on TPU.
+#
+# Interleaved pair rotation touches adjacent lanes (x0,x1), which costs lane
+# shuffles on the VPU and blocks fusing RoPE into the attention kernel. Since
+# attention logits are invariant under any fixed permutation applied to BOTH
+# q and k head channels, the deinterleave permutation (even channels first,
+# odd channels second: pair (2j, 2j+1) -> (j, j+D/2)) is folded into the
+# q/k projection weights at checkpoint conversion (io/convert.py::_lin_rope),
+# making rotate-half a contiguous half swap: (x_lo, x_hi) -> (-x_hi, x_lo).
+# This is the GPT-NeoX layout; the reference's diffusers apply_rotary_emb
+# (use_real_unbind_dim=-1) is the interleaved GPT-J layout.
+# --------------------------------------------------------------------------
+
+
+def deinterleave_perm(d: int) -> jax.Array:
+    """Channel permutation taking interleaved pair layout to half-split."""
+    import numpy as np
+
+    return jnp.asarray(
+        np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    )
+
+
+def rope_cos_sin_half(
+    ids: jax.Array,
+    axes_dim: Sequence[int],
+    theta: int = 10000,
+) -> Tuple[jax.Array, jax.Array]:
+    """Half-split cos/sin tables: per-pair values duplicated in both halves.
+
+    Row j and row j + D/2 hold the angle of global pair j, so the half-split
+    rotation ``x*cos + (-x_hi ++ x_lo)*sin`` equals the interleaved rotation
+    after the :func:`deinterleave_perm` channel permutation of x.
+    """
+    ids = ids.astype(jnp.float32)
+    cos_parts, sin_parts = [], []
+    for axis, dim in enumerate(axes_dim):
+        freqs = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+        angles = ids[:, axis:axis + 1] * freqs[None, :]  # [S, dim/2]
+        cos_parts.append(jnp.cos(angles))
+        sin_parts.append(jnp.sin(angles))
+    cos_p = jnp.concatenate(cos_parts, axis=-1)  # [S, D/2] per-pair
+    sin_p = jnp.concatenate(sin_parts, axis=-1)
+    return (
+        jnp.concatenate([cos_p, cos_p], axis=-1),
+        jnp.concatenate([sin_p, sin_p], axis=-1),
+    )
+
+
+def apply_rope_half(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply half-split rotary embedding (fp32 math, cast back).
+
+    Args:
+      x: [..., S, D] query or key in half-split channel order.
+      cos/sin: [S, D] tables from :func:`rope_cos_sin_half`.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    d2 = x.shape[-1] // 2
+    rot = jnp.concatenate([-xf[..., d2:], xf[..., :d2]], axis=-1)
+    return (xf * cos + rot * sin).astype(orig_dtype)

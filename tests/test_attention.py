@@ -113,3 +113,57 @@ def test_flash_bf16():
     want = np.asarray(xla_attention(q, k, v)).astype(np.float32)
     got = np.asarray(flash_attention(q, k, v, interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_rope_fused_matches_unfused():
+    """RoPE-fused kernel (half-split) == XLA rotation + plain kernel."""
+    from reptext_tpu.ops.flash_attention import flash_attention_rope
+    from reptext_tpu.ops.rope import apply_rope_half, rope_cos_sin_half
+
+    r = np.random.default_rng(7)
+    b, h, s, d = 1, 2, 1536, 64   # 1536 % 384 == 0 -> chunked fused path
+    q = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    ids = np.zeros((s, 3), np.float32)
+    ids[:, 1] = np.arange(s) % 37
+    ids[:, 2] = np.arange(s) % 11
+    cos_h, sin_h = rope_cos_sin_half(jnp.asarray(ids), (16, 24, 24))
+
+    got = np.asarray(flash_attention_rope(q, k, v, cos_h, sin_h, 512, True))
+    q_rot = apply_rope_half(q, cos_h, sin_h)
+    k_rot = apply_rope_half(k, cos_h, sin_h)
+    want = np.asarray(xla_attention(q_rot, k_rot, v))
+    # bf16 in-kernel tables: tolerance matches bf16 representation error
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_rope_gradients():
+    """Fused-rope VJP (rotate-backward adjoint) == autodiff through the
+    unfused composition."""
+    from reptext_tpu.ops.flash_attention import flash_attention_rope
+    from reptext_tpu.ops.rope import apply_rope_half, rope_cos_sin_half
+
+    r = np.random.default_rng(8)
+    b, h, s, d = 1, 2, 128, 32    # tiny -> falls back to XLA rotate + kernel
+    q = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    ids = np.asarray(r.integers(0, 9, (s, 3)), np.float32)
+    cos_h, sin_h = rope_cos_sin_half(jnp.asarray(ids), (8, 12, 12))
+
+    def fused(q, k, v):
+        return jnp.sum(flash_attention_rope(q, k, v, cos_h, sin_h, 128, True,
+                                            "einsum") ** 2)
+
+    def unfused(q, k, v):
+        qr = apply_rope_half(q, cos_h, sin_h)
+        kr = apply_rope_half(k, cos_h, sin_h)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qr, kr) / np.sqrt(d)
+        return jnp.sum((jax.nn.softmax(logits, -1) @ v) ** 2)
+
+    g_fused = jax.grad(fused, argnums=(0, 1, 2))(q, k, v)
+    g_unfused = jax.grad(unfused, argnums=(0, 1, 2))(q, k, v)
+    for gf, gu in zip(g_fused, g_unfused):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gu),
+                                   rtol=1e-4, atol=1e-5)

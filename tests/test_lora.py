@@ -54,14 +54,22 @@ def test_parse_groups_pairs():
 def test_apply_lora_changes_only_target_layer():
     _, params, _ = _params()
     state = _lora_state()
-    merged = apply_lora(params, state, scale=1.0)
+    hd = CFG.attention_head_dim
+    merged = apply_lora(params, state, scale=1.0, head_dim=hd)
 
     base_k = np.asarray(params["params"]["double_blocks"]["block"]["to_q"]["kernel"])
     new_k = np.asarray(merged["params"]["double_blocks"]["block"]["to_q"]["kernel"])
-    # layer 1 changed by exactly (B@A)^T
+    # layer 1 changed by exactly (B@A)^T with the RoPE half-split channel
+    # permutation applied (q/k kernels live in half-split order,
+    # io/convert.py::_lin_rope)
     a = state["transformer.transformer_blocks.1.attn.to_q.lora_A.weight"]
     b = state["transformer.transformer_blocks.1.attn.to_q.lora_B.weight"]
-    np.testing.assert_allclose(new_k[1] - base_k[1], (b @ a).T, rtol=1e-5, atol=1e-5)
+    delta = (b @ a).T
+    perm = np.concatenate([np.arange(0, hd, 2), np.arange(1, hd, 2)])
+    in_dim, out_dim = delta.shape
+    delta = delta.reshape(in_dim, out_dim // hd, hd)[:, :, perm].reshape(
+        in_dim, out_dim)
+    np.testing.assert_allclose(new_k[1] - base_k[1], delta, rtol=1e-5, atol=1e-5)
     # layer 0 untouched
     np.testing.assert_array_equal(new_k[0], base_k[0])
     # unrelated module untouched

@@ -57,3 +57,42 @@ def test_rope_preserves_norm():
     np.testing.assert_allclose(
         np.linalg.norm(y, axis=-1), np.linalg.norm(x, axis=-1), rtol=1e-5
     )
+
+
+def test_half_layout_equivalence():
+    """Half-split rotation == interleaved rotation under the deinterleave
+    channel permutation (the identity io/convert.py::_lin_rope relies on)."""
+    from reptext_tpu.ops.rope import (
+        apply_rope_half,
+        deinterleave_perm,
+        rope_cos_sin_half,
+    )
+
+    r = np.random.default_rng(0)
+    ids = np.zeros((10, 3), np.float32)
+    ids[4:, 1] = np.arange(6)
+    ids[4:, 2] = np.arange(6)[::-1]
+    axes = (8, 12, 12)
+    x = jnp.asarray(r.standard_normal((2, 3, 10, 32)), jnp.float32)
+
+    cos, sin = rope_cos_sin(jnp.asarray(ids), axes)
+    cos_h, sin_h = rope_cos_sin_half(jnp.asarray(ids), axes)
+    perm = deinterleave_perm(32)
+
+    want = np.asarray(apply_rope(x, cos, sin))[..., perm]
+    got = np.asarray(apply_rope_half(x[..., perm], cos_h, sin_h))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_half_inverse_rotation():
+    """apply_rope_half(., cos, -sin) inverts apply_rope_half(., cos, sin)
+    (the adjoint identity the fused-kernel backward uses)."""
+    from reptext_tpu.ops.rope import apply_rope_half, rope_cos_sin_half
+
+    r = np.random.default_rng(1)
+    ids = np.asarray(r.integers(0, 7, (6, 3)), np.float32)
+    cos_h, sin_h = rope_cos_sin_half(jnp.asarray(ids), (4, 6, 6))
+    x = jnp.asarray(r.standard_normal((1, 2, 6, 16)), jnp.float32)
+    y = apply_rope_half(x, cos_h, sin_h)
+    back = apply_rope_half(y, cos_h, -sin_h)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-5, atol=1e-6)

@@ -21,7 +21,7 @@ from reptext_tpu.configs import VAEConfig
 from reptext_tpu.io.convert import _double_block, _resnet, _single_block, _vae_attn
 from reptext_tpu.nn.blocks import JointTransformerBlock, SingleTransformerBlock
 from reptext_tpu.nn.vae import AttnBlock, ResnetBlock
-from reptext_tpu.ops.rope import rope_cos_sin
+from reptext_tpu.ops.rope import rope_cos_sin, rope_cos_sin_half
 
 torch = pytest.importorskip("torch")
 nn = torch.nn
@@ -280,21 +280,25 @@ def _rope_tables(s_txt, s_img):
     grid = np.stack(np.meshgrid(np.arange(4), np.arange(s_img // 4), indexing="ij"), -1)
     ids[s_txt:, 1:] = grid.reshape(-1, 2)
     cos, sin = rope_cos_sin(jnp.asarray(ids), (4, 6, 6))
-    return np.asarray(cos), np.asarray(sin)
+    cos_h, sin_h = rope_cos_sin_half(jnp.asarray(ids), (4, 6, 6))
+    # torch side rotates interleaved; the JAX blocks take half-split tables
+    # (the converter folds the matching channel permutation into q/k weights)
+    return (np.asarray(cos), np.asarray(sin),
+            np.asarray(cos_h), np.asarray(sin_h))
 
 
 def test_double_block_parity():
     tblock = _randomize(TFluxDoubleBlock(DIM, HEADS, HEAD_DIM), seed=0)
     state = _state_np(tblock, "transformer_blocks.0")
     params = {"params": jax.tree_util.tree_map(jnp.asarray,
-                                               _double_block(state, "transformer_blocks.0"))}
+                                               _double_block(state, "transformer_blocks.0", HEAD_DIM))}
 
     r = np.random.default_rng(1)
     b, s_txt, s_img = 2, 6, 16
     img = r.standard_normal((b, s_img, DIM)).astype(np.float32)
     txt = r.standard_normal((b, s_txt, DIM)).astype(np.float32)
     temb = r.standard_normal((b, DIM)).astype(np.float32)
-    cos, sin = _rope_tables(s_txt, s_img)
+    cos, sin, cos_h, sin_h = _rope_tables(s_txt, s_img)
 
     with torch.no_grad():
         want_txt, want_img = tblock(
@@ -305,7 +309,7 @@ def test_double_block_parity():
                                   attention_backend="xla")
     got_txt, got_img = block.apply(
         params, jnp.asarray(img), jnp.asarray(txt), jnp.asarray(temb),
-        jnp.asarray(cos), jnp.asarray(sin))
+        jnp.asarray(cos_h), jnp.asarray(sin_h))
     np.testing.assert_allclose(np.asarray(got_img), want_img.numpy(), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_txt), want_txt.numpy(), rtol=2e-4, atol=2e-4)
 
@@ -314,13 +318,13 @@ def test_single_block_parity():
     tblock = _randomize(TFluxSingleBlock(DIM, HEADS, HEAD_DIM), seed=2)
     state = _state_np(tblock, "single_transformer_blocks.0")
     params = {"params": jax.tree_util.tree_map(
-        jnp.asarray, _single_block(state, "single_transformer_blocks.0"))}
+        jnp.asarray, _single_block(state, "single_transformer_blocks.0", HEAD_DIM))}
 
     r = np.random.default_rng(3)
     b, s = 2, 20
     x = r.standard_normal((b, s, DIM)).astype(np.float32)
     temb = r.standard_normal((b, DIM)).astype(np.float32)
-    cos, sin = _rope_tables(4, s - 4)
+    cos, sin, cos_h, sin_h = _rope_tables(4, s - 4)
 
     with torch.no_grad():
         want = tblock(torch.tensor(x), torch.tensor(temb),
@@ -329,7 +333,7 @@ def test_single_block_parity():
     block = SingleTransformerBlock(dim=DIM, num_heads=HEADS, head_dim=HEAD_DIM,
                                    attention_backend="xla")
     got = block.apply(params, jnp.asarray(x), jnp.asarray(temb),
-                      jnp.asarray(cos), jnp.asarray(sin))
+                      jnp.asarray(cos_h), jnp.asarray(sin_h))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-4, atol=2e-4)
 
 
