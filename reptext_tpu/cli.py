@@ -59,6 +59,10 @@ def main(argv=None) -> int:
                              "reusing the last velocity between (1 = off)")
     parser.add_argument("--velocity-cache-warmup", type=int, default=8,
                         help="full model steps before velocity caching kicks in")
+    parser.add_argument("--velocity-cache-mode", choices=["reuse", "linear"],
+                        default="reuse",
+                        help="skipped-step velocity: repeat last computed, or "
+                             "first-order extrapolation over sigma (txt2img only)")
     parser.add_argument("--font", default=None, help="TTF font path")
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
@@ -151,6 +155,7 @@ def main(argv=None) -> int:
         true_guidance_scale=args.true_guidance_scale,
         velocity_cache_interval=args.velocity_cache_interval,
         velocity_cache_warmup=args.velocity_cache_warmup,
+        velocity_cache_mode=args.velocity_cache_mode,
     )
     if args.tiny:
         flux_cfg, cn_cfg = FluxConfig().tiny(), ControlNetConfig().tiny()

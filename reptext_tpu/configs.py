@@ -224,6 +224,11 @@ class PipelineConfig:
     # last computed velocity in the Euler update. The final step always runs.
     velocity_cache_interval: int = 1
     velocity_cache_warmup: int = 8
+    # "reuse": skipped steps repeat the last computed velocity (FORA-style).
+    # "linear": first-order extrapolation from the last two computed
+    # velocities over sigma (better fidelity at the same skip rate).
+    # The inpaint sampler supports "reuse" only.
+    velocity_cache_mode: str = "reuse"
 
     @property
     def vae_scale_factor(self) -> int:

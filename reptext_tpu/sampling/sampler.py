@@ -55,6 +55,7 @@ def make_txt2img_sampler(
     cond_scale = pipe_cfg.controlnet_conditioning_scale
     vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
     vc_warmup = max(getattr(pipe_cfg, "velocity_cache_warmup", 8), 1)
+    vc_linear = getattr(pipe_cfg, "velocity_cache_mode", "reuse") == "linear"
 
     def _scan_chunk(
         flux_params,
@@ -113,7 +114,10 @@ def make_txt2img_sampler(
             return mask_and_sum(block), mask_and_sum(single)
 
         def step(carry, scan_in):
-            lat, v_prev = carry
+            # cache registers hold the last two COMPUTED velocities and the
+            # sigmas at which they were computed (extrapolated values never
+            # enter the registers — no compounding).
+            lat, v_prev, v_prev2, s_prev, s_prev2 = carry
             i, local = scan_in
             t_b = jnp.full((b,), timesteps[i] / 1000.0, compute_dtype)
             x_model = lat.astype(compute_dtype)
@@ -147,8 +151,10 @@ def make_txt2img_sampler(
                     single_res,
                 ).astype(jnp.float32)
 
+            sig_i = sigmas[i]
             if vc_interval == 1:
                 velocity = compute_velocity(None)
+                regs = (velocity, v_prev, sig_i, s_prev)
             else:
                 # Cache schedule over absolute step i; `local == 0` forces the
                 # first step of every scan chunk (the carried velocity is
@@ -159,13 +165,32 @@ def make_txt2img_sampler(
                     | (i >= num_steps - 1)
                     | (local == 0)
                 )
-                velocity = jax.lax.cond(
-                    run, compute_velocity, lambda _: v_prev, operand=None
-                )
+
+                def computed(_):
+                    v = compute_velocity(None)
+                    return v, (v, v_prev, sig_i, s_prev)
+
+                def skipped(_):
+                    if vc_linear:
+                        # first-order extrapolation over sigma from the last
+                        # two computed velocities; degenerates to reuse until
+                        # two computes exist (the seed register carries
+                        # s_prev2 == 0, and real schedule sigmas are > 0)
+                        ds = s_prev - s_prev2
+                        inv = jnp.where(
+                            (jnp.abs(ds) > 1e-8) & (s_prev2 > 0.0),
+                            1.0 / ds, 0.0,
+                        )
+                        v = v_prev + (v_prev - v_prev2) * (inv * (sig_i - s_prev))
+                    else:
+                        v = v_prev
+                    return v, (v_prev, v_prev2, s_prev, s_prev2)
+
+                velocity, regs = jax.lax.cond(run, computed, skipped, operand=None)
 
             dt = sigmas[i + 1] - sigmas[i]
             lat = lat + dt * velocity
-            return (lat, velocity), None
+            return (lat,) + regs, None
 
         # Residual stack shapes come from one abstract ControlNet eval.
         cn_shapes = jax.eval_shape(
@@ -179,11 +204,15 @@ def make_txt2img_sampler(
 
         indices = jnp.arange(chunk_steps) + start_step
         locals_ = jnp.arange(chunk_steps)
+        zeros_v = jnp.zeros(latents.shape, jnp.float32)
         init = (
             latents.astype(jnp.float32),
-            jnp.zeros(latents.shape, jnp.float32),  # velocity cache seed
+            zeros_v,                    # v_prev  (cache seed, never consumed)
+            zeros_v,                    # v_prev2
+            jnp.zeros((), jnp.float32),  # sigma of v_prev
+            jnp.zeros((), jnp.float32),  # sigma of v_prev2
         )
-        (latents_out, _), _ = jax.lax.scan(step, init, (indices, locals_))
+        (latents_out, *_), _ = jax.lax.scan(step, init, (indices, locals_))
         return latents_out
 
     def sample(

@@ -37,11 +37,12 @@ def _stub_cn(params, hidden, cond, ctx, pooled, t, img_ids, txt_ids,
     return block, single
 
 
-def _make(num_steps, interval, warmup=2, gate=10**9):
+def _make(num_steps, interval, warmup=2, gate=10**9, mode="reuse"):
     cfg = PipelineConfig(
         height=32, width=32, num_inference_steps=num_steps,
         controlnet_conditioning_step=min(gate, num_steps),
         velocity_cache_interval=interval, velocity_cache_warmup=warmup,
+        velocity_cache_mode=mode,
     )
     schedule = build_schedule(num_steps, cfg.image_seq_len)
     sampler = make_txt2img_sampler(_stub_flux, _stub_cn, schedule, cfg)
@@ -66,12 +67,20 @@ def _reference_loop(schedule, cfg, latents, cond_tokens, token_masks, ctx,
     num_steps = schedule.num_steps
     interval = cfg.velocity_cache_interval
     warmup = cfg.velocity_cache_warmup
+    linear = cfg.velocity_cache_mode == "linear"
     gate = cfg.controlnet_conditioning_step
     lat = latents.astype(jnp.float32)
     v = None
+    computed = []  # [(sigma, v), ...] last-two computed register
     for i in range(num_steps):
         run = (interval == 1 or i < warmup
                or (i - warmup) % interval == 0 or i >= num_steps - 1 or i == 0)
+        if not run:
+            if linear and len(computed) >= 2:
+                (s1, v1), (s2, v2) = computed[-1], computed[-2]
+                v = v1 + (v1 - v2) * ((schedule.sigmas[i] - s1) / (s1 - s2))
+            else:
+                v = computed[-1][1]
         if run:
             t_b = jnp.full((B,), schedule.timesteps[i] / 1000.0)
             if i < gate:
@@ -86,13 +95,17 @@ def _reference_loop(schedule, cfg, latents, cond_tokens, token_masks, ctx,
                 single = jnp.zeros((LS_CN, B, S, INNER))
             v = _stub_flux(None, lat, ctx, pooled, t_b, img_ids, txt_ids,
                            None, block, single).astype(jnp.float32)
+            computed.append((float(schedule.sigmas[i]), v))
         lat = lat + (schedule.sigmas[i + 1] - schedule.sigmas[i]) * v
     return lat
 
 
-@pytest.mark.parametrize("interval,warmup", [(1, 2), (2, 2), (3, 1)])
-def test_fused_matches_reference_loop(interval, warmup):
-    sampler, schedule, cfg = _make(8, interval, warmup)
+@pytest.mark.parametrize("interval,warmup,mode", [
+    (1, 2, "reuse"), (2, 2, "reuse"), (3, 1, "reuse"),
+    (2, 2, "linear"), (3, 1, "linear"),
+])
+def test_fused_matches_reference_loop(interval, warmup, mode):
+    sampler, schedule, cfg = _make(8, interval, warmup, mode=mode)
     args = _args()
     got = sampler(None, None, args[0], args[1], args[2], args[3], args[4],
                   args[5], args[6], None)
