@@ -453,6 +453,9 @@ def main(verbose: bool = False):
             "mean_sampled_ink_corr": fid["mean_sampled_ink_corr"],
             "weights": fid["weights"],
         }
+        for key in ("mean_cached_edge_iou", "velocity_cache_pixel_mad"):
+            if key in fid:
+                result["glyph_fidelity"][key] = fid[key]
     print(json.dumps(result))
 
 

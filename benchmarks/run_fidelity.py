@@ -93,17 +93,44 @@ def main(argv=None):
     gen = np.asarray(images[0])
     gen_s = time.time() - t0
 
+    # Velocity-cache fidelity tracking (ROADMAP #11): same seed/params with
+    # interval=2 step skipping; record the pixel divergence vs the uncached
+    # image and the cached image's own fidelity scores.
+    import dataclasses
+
+    vc_cfg = dataclasses.replace(
+        pipe_cfg, velocity_cache_interval=2,
+        velocity_cache_warmup=max(steps // 3, 1), velocity_cache_mode="linear",
+    )
+    vc_pipe = FluxRepTextPipeline.create(
+        flux_cfg=pipe.flux.config, cn_cfg=pipe.controlnet.config,
+        vae_cfg=pipe.vae.config, pipe_cfg=vc_cfg,
+        clip_cfg=pipe.clip.config, t5_cfg=pipe.t5.config,
+        params=pipe.params,
+        compute_dtype=jnp.bfloat16 if real else jnp.float32,
+        param_dtype=jnp.bfloat16 if real else jnp.float32,
+    )
+    gen_vc = np.asarray(
+        vc_pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=SEED)[0]
+    )
+    vc_pixel_mad = float(
+        np.abs(gen.astype(np.float64) - gen_vc.astype(np.float64)).mean()
+    )
+
     rows = []
     for i, lc in enumerate(conds.lines):
         x0, y0, x1, y1 = lc.bbox
         sampled = score_region(gen[y0:y1, x0:x1], lc)
+        cached = score_region(gen_vc[y0:y1, x0:x1], lc)
         perfect = score_region(lc.glyph_image[y0:y1, x0:x1], lc)
         flat = score_region(np.full_like(lc.glyph_image[y0:y1, x0:x1], 128), lc)
         rows.append({
             "line": i, "text": lines[i].text,
-            "sampled": sampled, "perfect_bound": perfect, "flat_floor": flat,
+            "sampled": sampled, "velocity_cached": cached,
+            "perfect_bound": perfect, "flat_floor": flat,
         })
-        print(f"line {i}: sampled={sampled} perfect={perfect} flat={flat}")
+        print(f"line {i}: sampled={sampled} cached={cached} "
+              f"perfect={perfect} flat={flat}")
 
     out = {
         "seed": SEED, "size": size, "steps": steps,
@@ -111,6 +138,9 @@ def main(argv=None):
         "mean_sampled_edge_iou": float(np.mean([r["sampled"]["edge_iou"] for r in rows])),
         "mean_sampled_ink_corr": float(np.mean([r["sampled"]["ink_corr"] for r in rows])),
         "mean_perfect_edge_iou": float(np.mean([r["perfect_bound"]["edge_iou"] for r in rows])),
+        "mean_cached_edge_iou": float(np.mean(
+            [r["velocity_cached"]["edge_iou"] for r in rows])),
+        "velocity_cache_pixel_mad": round(vc_pixel_mad, 4),
         "generate_s": round(gen_s, 2),
         "lines": rows,
     }
