@@ -374,8 +374,10 @@ def _flash_attention_rope_impl(
     s_pad_final = _round_up(s_pad, block_q)
     n_chunks = 3 if (s_pad_final % 384 == 0 and s_pad_final >= 1152) else 1
     if s > _SINGLE_PASS_MAX_SEQ or n_chunks == 1:
-        # streaming or tiny path: rotate in XLA (cheap relative to, resp.,
-        # the streaming loop and tiny shapes)
+        # streaming or tiny path: rotate in XLA. In-kernel rotation was
+        # MEASURED SLOWER for the streaming schedule (25.4 vs 22.9 ms at
+        # 24x9728x128): K rotates redundantly once per q-block (38x there,
+        # vs 6x in the single-pass kernel where it pays off).
         q_rot = apply_rope_half(q, rope_cos, rope_sin)
         k_rot = apply_rope_half(k, rope_cos, rope_sin)
         return _flash_attention_impl(q_rot, k_rot, v, block_q, interpret)

@@ -167,3 +167,29 @@ def test_flash_attention_rope_gradients():
     for gf, gu in zip(g_fused, g_unfused):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gu),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_rope_streaming_path():
+    """Long sequences route to the rope-fused streaming kernel; must match
+    XLA rotation + reference softmax."""
+    from unittest import mock
+
+    import reptext_tpu.ops.flash_attention as fa
+    from reptext_tpu.ops.rope import apply_rope_half, rope_cos_sin_half
+
+    r = np.random.default_rng(9)
+    b, h, s, d = 1, 1, 640, 32
+    q = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    ids = np.zeros((s, 3), np.float32)
+    ids[:, 1] = np.arange(s) % 23
+    cos_h, sin_h = rope_cos_sin_half(jnp.asarray(ids), (8, 12, 12))
+
+    with mock.patch.object(fa, "_SINGLE_PASS_MAX_SEQ", 256):  # force streaming
+        got = np.asarray(
+            fa.flash_attention_rope(q, k, v, cos_h, sin_h, 128, True))
+    q_rot = apply_rope_half(q, cos_h, sin_h)
+    k_rot = apply_rope_half(k, cos_h, sin_h)
+    want = np.asarray(xla_attention(q_rot, k_rot, v))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
