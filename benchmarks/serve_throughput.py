@@ -1,0 +1,153 @@
+"""Serving throughput on the local chip: coalesced vs serial request bursts.
+
+Measures the resident-pipeline GenerationWorker (reptext_tpu/serving.py) at
+full model width and reduced transformer depth (same protocol as bench.py:
+the 12B full-depth model does not fit one 16GB chip), with a burst of
+same-signature requests:
+
+- serial:    max_batch=1 — every request is its own sampler call
+- coalesced: max_batch=4 — the worker stacks compatible queued requests onto
+  the batch axis (rank-4 cond tensors through the fused sampler)
+
+The workload is compute-bound (bench.py batch2_step_time_ratio ~= 2), so the
+coalescing win is overhead amortization (per-call text encode, VAE cond
+encode, dispatch) rather than MXU utilization; this harness records what that
+is worth end-to-end, plus queue-latency percentiles.
+
+Run on the real chip:  python benchmarks/serve_throughput.py
+CPU wiring check:      JAX_PLATFORMS=cpu python benchmarks/serve_throughput.py --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BURST = 8
+STEPS = 4
+
+
+def build_pipeline(tiny: bool):
+    import jax.numpy as jnp
+
+    from reptext_tpu.configs import (
+        CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config,
+        VAEConfig,
+    )
+    from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    if tiny:
+        flux_cfg, cn_cfg = FluxConfig().tiny(), ControlNetConfig().tiny()
+        vae_cfg, clip_cfg, t5_cfg = (VAEConfig().tiny(), CLIPConfig().tiny(),
+                                     T5Config().tiny())
+        size, dtype = 64, jnp.float32
+    else:
+        # full width, reduced depth (bench.py protocol) for every model:
+        # a resident full-depth T5-XXL (9.4GB bf16) leaves no HBM headroom
+        # for batched sampling on a 16GB chip (measured OOM), so the T5 also
+        # keeps its 4096 width but drops to 2 layers.
+        flux_cfg = dataclasses.replace(FluxConfig(), num_layers=2,
+                                       num_single_layers=4)
+        cn_cfg = dataclasses.replace(ControlNetConfig(), num_layers=2,
+                                     num_single_layers=4)
+        vae_cfg = VAEConfig()
+        clip_cfg = CLIPConfig()
+        t5_cfg = dataclasses.replace(T5Config(), num_layers=2)
+        size, dtype = 512, jnp.bfloat16
+
+    pipe_cfg = PipelineConfig(height=size, width=size,
+                              num_inference_steps=STEPS,
+                              controlnet_conditioning_step=STEPS)
+    pipe = FluxRepTextPipeline.create(
+        flux_cfg=flux_cfg, cn_cfg=cn_cfg, vae_cfg=vae_cfg, pipe_cfg=pipe_cfg,
+        clip_cfg=clip_cfg, t5_cfg=t5_cfg,
+        compute_dtype=dtype, param_dtype=dtype,
+    )
+    return pipe, size
+
+
+def run_burst(pipe, size: int, max_batch: int, burst: int):
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+    from reptext_tpu.utils.metrics import Metrics
+
+    metrics = Metrics()
+    worker = GenerationWorker(pipe, max_batch=max_batch,
+                              batch_window_s=0.05 if max_batch > 1 else 0.0,
+                              metrics=metrics).start()
+    worker.warmup(position=(size // 8, size // 4))
+
+    def make_reqs():
+        return [
+            GenerationRequest(
+                prompt="a street sign", seed=100 + i,
+                lines=[{"text": "Hi", "position": [size // 8, size // 4],
+                        "font_size": size // 4}],
+            )
+            for i in range(burst)
+        ]
+
+    # untimed compile burst: the coalesced path compiles one graph per batch
+    # bucket (2, 4, ...) that the single-request warmup does not touch
+    for r in make_reqs():
+        worker.submit(r)
+        compile_last = r
+    compile_last._done.wait(timeout=3600)
+    time.sleep(0.2)
+
+    reqs = make_reqs()
+    batches_before = worker.batches  # exclude warmup + compile burst
+    t0 = time.time()
+    for r in reqs:
+        worker.submit(r)
+    lat = []
+    for r in reqs:
+        r._done.wait(timeout=1200)
+        lat.append(time.time() - t0)  # queue+generate latency from burst start
+    wall = time.time() - t0
+    errors = [r._error for r in reqs if r._error]
+    worker.stop()
+    assert not errors, errors
+    lat.sort()
+    return {
+        "max_batch": max_batch,
+        "burst": burst,
+        "wall_s": round(wall, 2),
+        "requests_per_min": round(60.0 * burst / wall, 2),
+        "sampler_calls": worker.batches - batches_before,
+        "mean_coalesced_batch": round(
+            burst / max(worker.batches - batches_before, 1), 2),
+        "latency_p50_s": round(lat[len(lat) // 2], 3),
+        "latency_max_s": round(lat[-1], 3),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny geometry wiring check (CPU)")
+    parser.add_argument("--burst", type=int, default=BURST)
+    args = parser.parse_args(argv)
+
+    pipe, size = build_pipeline(args.tiny)
+    rows = []
+    for max_batch in (1, 4):
+        row = run_burst(pipe, size, max_batch, args.burst)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    speedup = rows[0]["wall_s"] / rows[1]["wall_s"]
+    print(json.dumps({
+        "metric": f"serving burst coalescing speedup ({size}^2, {STEPS} steps, "
+                  f"reduced depth)",
+        "coalescing_speedup": round(speedup, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
