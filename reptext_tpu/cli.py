@@ -88,6 +88,10 @@ def main(argv=None) -> int:
     parser.add_argument("--negative-prompt", default=None,
                         help="inpaint: CFG negative prompt (default: reference's)")
     parser.add_argument("--true-guidance-scale", type=float, default=1.0)
+    parser.add_argument("--attention-backend",
+                        choices=["auto", "xla", "pallas"], default="auto",
+                        help="attention impl: auto = Pallas flash kernel on "
+                             "TPU, XLA einsum elsewhere")
     parser.add_argument("--train-steps", type=int, default=100,
                         help="train: optimization steps")
     parser.add_argument("--batch-size", type=int, default=2,
@@ -176,6 +180,8 @@ def main(argv=None) -> int:
         flux_cfg=flux_cfg, cn_cfg=cn_cfg, vae_cfg=vae_cfg, pipe_cfg=pipe_cfg,
         params=params, clip_cfg=clip_cfg, t5_cfg=t5_cfg,
         compute_dtype=dtype, param_dtype=dtype,
+        attention_backend=(None if args.attention_backend == "auto"
+                           else args.attention_backend),
     )
     if inpaint:
         from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
