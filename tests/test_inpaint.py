@@ -78,3 +78,47 @@ def test_inpaint_requires_image_and_mask(pipeline):
     conds = build_conditions([TextLine("X", (20, 20), font_size=24)], W, H)
     with pytest.raises(ValueError):
         pipeline(conds)
+
+
+def test_inpaint_velocity_cache(pipeline):
+    """Inpaint sampler honors velocity_cache_interval ("reuse" mode): cached
+    and uncached runs agree at the warmup prefix semantics (finite, same
+    shape, mildly divergent), and interval=1 reproduces the fixture pipeline
+    exactly."""
+    conds = build_conditions([TextLine("X", (20, 20), font_size=24)], W, H)
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 255, (H, W, 3), np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[16:48, 16:48] = 255
+    kw = dict(
+        conds=conds, image=image, mask=mask,
+        clip_ids=jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32),
+        t5_ids=jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32),
+        negative_clip_ids=jnp.asarray([[2, 255, 0, 0, 0, 0, 0, 0]], jnp.int32),
+        negative_t5_ids=jnp.asarray([[4, 1, 0, 0, 0, 0]], jnp.int32),
+        seed=7,
+    )
+
+    def build(steps, interval):
+        cfg = dataclasses.replace(
+            pipeline.pipe_cfg, num_inference_steps=steps,
+            controlnet_conditioning_step=steps,
+            velocity_cache_interval=interval, velocity_cache_warmup=1,
+        )
+        return FluxRepTextInpaintPipeline.create_inpaint(
+            inpaint_cn_cfg=pipeline.inpaint_controlnet.config,
+            flux_cfg=pipeline.flux.config, cn_cfg=pipeline.controlnet.config,
+            vae_cfg=pipeline.vae.config, pipe_cfg=cfg,
+            clip_cfg=pipeline.clip.config, t5_cfg=pipeline.t5.config,
+            params=pipeline.params,
+        )
+
+    rest = {k: v for k, v in kw.items() if k != "conds"}
+    base = build(4, 1)(kw["conds"], **rest)
+    cached = build(4, 2)(kw["conds"], **rest)
+    assert base.shape == cached.shape == (1, H, W, 3)
+    assert np.isfinite(base.astype(np.float64)).all()
+    assert np.isfinite(cached.astype(np.float64)).all()
+    diff = np.abs(base.astype(np.int32) - cached.astype(np.int32))
+    assert diff.max() > 0      # caching changed the trajectory
+    assert diff.mean() < 64    # but did not diverge
