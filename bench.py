@@ -441,11 +441,13 @@ def main(verbose: bool = False):
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
-    # freshest local fidelity run, else the committed artifact (results/ is
-    # gitignored; benchmarks/fidelity_latest.json travels with the repo)
-    fid_path = next((p for p in ("results/fidelity.json",
-                                 "benchmarks/fidelity_latest.json")
-                     if os.path.isfile(p)), None)
+    # freshest fidelity run by mtime: local results/ (gitignored) vs the
+    # committed artifact (benchmarks/fidelity_latest.json travels with the
+    # repo) — a stale local file must not shadow a newer committed one
+    candidates = [p for p in ("results/fidelity.json",
+                              "benchmarks/fidelity_latest.json")
+                  if os.path.isfile(p)]
+    fid_path = max(candidates, key=os.path.getmtime) if candidates else None
     if fid_path:
         fid = json.loads(open(fid_path).read())
         result["glyph_fidelity"] = {
