@@ -193,3 +193,32 @@ def test_flash_attention_rope_streaming_path():
     k_rot = apply_rope_half(k, cos_h, sin_h)
     want = np.asarray(xla_attention(q_rot, k_rot, v))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_rope_pallas_backward():
+    """Rope-fused VJP with the Pallas streaming backward == einsum backward
+    (chunked fused-rope forward path: S % 384 == 0, S >= 1152)."""
+    from reptext_tpu.ops.flash_attention import flash_attention_rope
+    from reptext_tpu.ops.rope import rope_cos_sin_half
+
+    r = np.random.default_rng(11)
+    b, h, s, d = 1, 1, 1152, 32
+    q = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, h, s, d)), jnp.float32)
+    ids = np.asarray(r.integers(0, 31, (s, 3)), np.float32)
+    cos_h, sin_h = rope_cos_sin_half(jnp.asarray(ids), (8, 12, 12))
+
+    def loss(backward):
+        def f(q, k, v):
+            return jnp.sum(
+                flash_attention_rope(q, k, v, cos_h, sin_h, 384, True,
+                                     backward) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_pallas = loss("pallas")
+    g_einsum = loss("einsum")
+    for gp, ge in zip(g_pallas, g_einsum):
+        # fused forward uses bf16 in-kernel tables -> bf16-order tolerance
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ge),
+                                   rtol=5e-2, atol=5e-2)
