@@ -71,7 +71,7 @@ def build_grad(backend: str, lat: int):
         return jnp.mean(jnp.square(out.astype(jnp.float32)))
 
     def gstep(p, h):
-        l, g = jax.value_and_grad(loss)(p)
+        l, g = jax.value_and_grad(loss)(p, h)
         # fold the grads into a scalar so the chained-timing wrapper can
         # carry a fixed-shape value and the tunnel fetch stays one scalar
         return l + sum(

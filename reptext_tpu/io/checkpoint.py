@@ -13,6 +13,24 @@ from typing import Any, Dict, Optional
 
 COMPONENTS = ("flux", "controlnet", "inpaint_controlnet", "vae", "clip", "t5")
 
+# Param-layout version written into every checkpoint directory. Version 2 =
+# the RoPE deinterleave permutation is folded into converted q/k kernels and
+# qk-norm scales (io/convert.py::_fold_rope_permutation); version 1 =
+# pre-fold interleaved channel order. A v1 checkpoint loaded into current
+# models silently produces wrong attention, so load_pipeline_params fails
+# loudly on any mismatch (re-run the converter to regenerate the cache).
+LAYOUT_VERSION = 2
+_LAYOUT_FILE = "LAYOUT_VERSION"
+
+
+def checkpoint_layout_version(directory: str) -> int:
+    """Layout version recorded in ``directory`` (1 if no marker: pre-fold)."""
+    path = os.path.join(os.path.abspath(directory), _LAYOUT_FILE)
+    if not os.path.isfile(path):
+        return 1
+    with open(path) as f:
+        return int(f.read().strip())
+
 
 def _checkpointer():
     import orbax.checkpoint as ocp
@@ -26,12 +44,28 @@ def save_pipeline_params(params: Dict[str, Any], directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
     for name, tree in params.items():
         ckptr.save(os.path.join(os.path.abspath(directory), name), tree)
+    with open(os.path.join(os.path.abspath(directory), _LAYOUT_FILE), "w") as f:
+        f.write(f"{LAYOUT_VERSION}\n")
 
 
 def load_pipeline_params(
     directory: str, components: Optional[tuple] = None
 ) -> Dict[str, Any]:
-    """Load every component checkpoint found under ``directory``."""
+    """Load every component checkpoint found under ``directory``.
+
+    Refuses checkpoints whose recorded param layout differs from the current
+    LAYOUT_VERSION (e.g. caches converted before the RoPE permutation fold):
+    such params load cleanly but rotate the wrong channel pairs in attention.
+    """
+    version = checkpoint_layout_version(directory)
+    if os.path.isdir(directory) and version != LAYOUT_VERSION:
+        raise ValueError(
+            f"checkpoint {directory} has param layout v{version}, current is "
+            f"v{LAYOUT_VERSION} (RoPE half-split permutation folded into q/k "
+            "weights). Loading it would silently corrupt attention — delete "
+            "the cache and re-run the converter (io.checkpoint.convert_and_"
+            "cache) from the original safetensors."
+        )
     ckptr = _checkpointer()
     out: Dict[str, Any] = {}
     for name in components or COMPONENTS:

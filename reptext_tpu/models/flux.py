@@ -42,8 +42,6 @@ class _DoubleLayer(nn.Module):
     @nn.compact
     def __call__(self, carry, inject):
         ctx, x, temb, cos, sin = carry
-        if inject is not None:
-            x = x + inject.astype(x.dtype)
         ctx, x = JointTransformerBlock(
             dim=self.config.inner_dim,
             num_heads=self.config.num_attention_heads,
@@ -54,6 +52,13 @@ class _DoubleLayer(nn.Module):
             param_dtype=self.param_dtype,
             name="block",
         )(x, ctx, temb, cos, sin)
+        # diffusers adds the ControlNet residual to the block's OUTPUT
+        # (after-block injection: `hidden_states = hidden_states +
+        # controlnet_block_samples[index_block // interval]` in
+        # FluxTransformer2DModel.forward, invoked at
+        # RepText/pipeline_flux_controlnet.py:1092-1104)
+        if inject is not None:
+            x = x + inject.astype(x.dtype)
         return (ctx, x, temb, cos, sin), None
 
 
@@ -67,8 +72,6 @@ class _SingleLayer(nn.Module):
     @nn.compact
     def __call__(self, carry, inject):
         x, temb, cos, sin = carry
-        if inject is not None:
-            x = x.at[:, self.txt_len:, :].add(inject.astype(x.dtype))
         x = SingleTransformerBlock(
             dim=self.config.inner_dim,
             num_heads=self.config.num_attention_heads,
@@ -79,6 +82,10 @@ class _SingleLayer(nn.Module):
             param_dtype=self.param_dtype,
             name="block",
         )(x, temb, cos, sin)
+        # after-block injection into the image-token slice, matching
+        # diffusers' single-stream residual add (see _DoubleLayer note)
+        if inject is not None:
+            x = x.at[:, self.txt_len:, :].add(inject.astype(x.dtype))
         return (x, temb, cos, sin), None
 
 

@@ -15,6 +15,12 @@ axis:
   against the block it holds — overlapping compute with the transfer — and
   then waits on the send/recv semaphore pair, at which point the left
   neighbor's block has landed in the other slot;
+- slot reuse is protected by a REGULAR-semaphore capacity handshake: a
+  device signals its LEFT neighbor when it has finished computing on a comm
+  slot, and waits for the RIGHT neighbor's signal before RDMA-ing into that
+  slot — the DMA semaphores alone only order the sender's own transfers,
+  not the receiver's consumption, so without the handshake a fast sender
+  could overwrite a block the receiver is still reading;
 - after ``n`` steps every Q shard has attended to the full sequence and the
   output is normalized once (deferred division, same trick as
   ops/flash_attention.py).
@@ -32,6 +38,7 @@ The reference has no distributed attention of any kind (SURVEY.md §2.3).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -54,13 +61,16 @@ def _ring_kernel(
     l_scr,            # [G, Sq, 1] running denominator scratch
     send_sem,         # [2] DMA semaphores (per slot)
     recv_sem,         # [2]
+    capacity_sem,     # [2] REGULAR semaphores: remote slot-free handshake
     *,
     axis_name: str,
     scale: float,
+    handshake: bool,
 ):
     n = jax.lax.axis_size(axis_name)
     my_id = jax.lax.axis_index(axis_name)
     right = jax.lax.rem(my_id + 1, n)
+    left = jax.lax.rem(my_id + n - 1, n)
 
     comm[0, 0] = k_ref[:]
     comm[0, 1] = v_ref[:]
@@ -86,6 +96,19 @@ def _ring_kernel(
         # ship the block we hold to the right neighbor while we compute on it
         @pl.when(s < n - 1)
         def _():
+            # Buffer-free handshake: the DMA semaphores only order OUR
+            # transfers, not the right neighbor's consumption of its
+            # comm[nxt] slot. Before overwriting it, wait for the right
+            # neighbor's signal that it finished computing on that slot
+            # (its step s-1 compute). At s == 0 both slots are untouched.
+            # (Interpret mode serializes devices — no race — and does not
+            # implement remote semaphore_signal, so the handshake is
+            # compiled-path only.)
+            if handshake:
+                @pl.when(s > 0)
+                def _():
+                    pltpu.semaphore_wait(capacity_sem.at[nxt], 1)
+
             rdma(slot, nxt).start()
 
         k_blk = comm[slot, 0].astype(jnp.float32)
@@ -108,6 +131,19 @@ def _ring_kernel(
         )
         acc[:] = acc[:] * corr + pv
         m_scr[:] = m_new
+
+        # compute on comm[slot] is done -> tell the LEFT neighbor it may
+        # start its next RDMA into our comm[slot] (its step s+1 writes land
+        # there). Only signal when such a write is still coming (s < n-2),
+        # so every semaphore drains to zero by kernel end.
+        if handshake:
+            @pl.when(s < n - 2)
+            def _():
+                pltpu.semaphore_signal(
+                    capacity_sem.at[slot],
+                    device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
 
         # send done + left neighbor's block landed in the other slot
         @pl.when(s < n - 1)
@@ -134,7 +170,8 @@ def _local_ring_attention(
     scale = 1.0 / (d ** 0.5)
 
     out = pl.pallas_call(
-        functools.partial(_ring_kernel, axis_name=axis_name, scale=scale),
+        functools.partial(_ring_kernel, axis_name=axis_name, scale=scale,
+                          handshake=not interpret),
         out_shape=jax.ShapeDtypeStruct((g, sq, d), q.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -145,6 +182,7 @@ def _local_ring_attention(
             pltpu.VMEM((g, sq, 1), jnp.float32),          # l
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR((2,)),            # capacity handshake
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=0,
@@ -172,9 +210,22 @@ def ring_flash_attention(
 
     ``interpret`` defaults to True off-TPU (CPU-mesh validation) and False on
     TPU backends (compiled Mosaic + ICI RDMA).
+
+    The compiled multi-chip path has never run on real ICI (this build host
+    has one chip); until it is validated on hardware it is gated behind
+    ``REPTEXT_EXPERIMENTAL_RING=1``. Interpret mode (the CPU-mesh validation
+    path) is always available.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret and os.environ.get("REPTEXT_EXPERIMENTAL_RING") != "1":
+        raise RuntimeError(
+            "ring_flash_attention's compiled Mosaic+ICI path is experimental "
+            "(unvalidated on real multi-chip hardware). Set "
+            "REPTEXT_EXPERIMENTAL_RING=1 to enable it, or use "
+            "parallel.sequence.ring_attention (the shard_map ppermute ring) "
+            "which is the production sequence-parallel path."
+        )
     spec = P(None, None, axis_name, None)
     fn = functools.partial(
         _local_ring_attention, axis_name=axis_name, interpret=interpret

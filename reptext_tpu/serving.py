@@ -76,6 +76,12 @@ class GenerationWorker:
         self.requests: "queue.Queue[GenerationRequest]" = queue.Queue(max_queue)
         self.max_batch = max(1, max_batch)
         self.batch_window_s = batch_window_s
+        # HBM-OOM degradation state: the coalescing cap is shrunk per
+        # resolution bucket (OOM is resolution-dependent), never globally,
+        # and restored by doubling after a cooldown of successful rounds.
+        self._oom_caps: Dict = {}     # (w, h) -> shrunken cap
+        self._oom_success: Dict = {}  # (w, h) -> consecutive OK batches
+        self.oom_restore_after = 8    # successful rounds before cap doubles
         self.metrics = metrics if metrics is not None else default_metrics
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -121,6 +127,31 @@ class GenerationWorker:
         return (req.mode, req.num_steps, req.guidance_scale, len(req.lines),
                 req.width, req.height)
 
+    @staticmethod
+    def _res_key(req: GenerationRequest):
+        return (req.width, req.height)
+
+    def _cap_for(self, req: GenerationRequest) -> int:
+        """Effective coalescing cap: configured max_batch, tightened by any
+        live HBM-OOM shrink for this request's resolution bucket."""
+        return min(self.max_batch,
+                   self._oom_caps.get(self._res_key(req), self.max_batch))
+
+    def _note_batch_ok(self, req: GenerationRequest) -> None:
+        """Cooldown-based cap restore: after `oom_restore_after` successful
+        rounds at a shrunken cap, double it; drop the entry once it reaches
+        the configured max_batch again."""
+        key = self._res_key(req)
+        if key not in self._oom_caps:
+            return
+        self._oom_success[key] = self._oom_success.get(key, 0) + 1
+        if self._oom_success[key] >= self.oom_restore_after:
+            self._oom_success[key] = 0
+            self._oom_caps[key] *= 2
+            if self._oom_caps[key] >= self.max_batch:
+                del self._oom_caps[key]
+                self._oom_success.pop(key, None)
+
     def _pipeline_for(self, req: GenerationRequest):
         """Resolution-bucket routing: one pipeline view per (height, width),
         all sharing the resident params (FluxRepTextPipeline.with_resolution).
@@ -163,9 +194,10 @@ class GenerationWorker:
             # dual-ControlNet CFG requests run serially (no batched path)
             return [self._pending.pop(0)]
         sig = self._signature(lead)
+        cap = self._cap_for(lead)
         batch, rest = [], []
         for r in self._pending:
-            if len(batch) < self.max_batch and self._signature(r) == sig:
+            if len(batch) < cap and self._signature(r) == sig:
                 batch.append(r)
             else:
                 rest.append(r)
@@ -205,7 +237,7 @@ class GenerationWorker:
         # Pad the batch to a power-of-two bucket (repeat the last request)
         # so XLA compiles one graph per bucket, not per batch size.
         n = len(batch)
-        bucket = _bucket(n, self.max_batch)
+        bucket = _bucket(n, self._cap_for(batch[0]))
         pad = bucket - n
         if pad:
             conds_list = conds_list + [conds_list[-1]] * pad
@@ -319,20 +351,26 @@ class GenerationWorker:
                 self._run_batch(batch)
             self.completed += len(batch)
             self.batches += 1
+            self._note_batch_ok(batch[0])
             self.metrics.inc("serving.requests_completed", len(batch))
             self.metrics.inc("serving.batches")
             self.metrics.observe("serving.batch_size", float(len(batch)))
             self.metrics.observe("serving.generate_s", time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001 — report to client
             if self._is_oom(e) and len(batch) > 1:
-                # Graceful HBM-OOM degradation: shrink the coalescing cap to
-                # half the failed batch and retry the same requests next round
-                # (no request fails or resolves; they re-batch under the
-                # smaller cap).
-                self.max_batch = max(1, len(batch) // 2)
+                # Graceful HBM-OOM degradation: shrink the coalescing cap for
+                # THIS resolution bucket to half the failed batch and retry
+                # the same requests next round (no request fails or resolves;
+                # they re-batch under the smaller cap). Other resolutions and
+                # future traffic are unaffected; _note_batch_ok restores the
+                # cap after a cooldown of successful rounds.
+                key = self._res_key(batch[0])
+                self._oom_caps[key] = max(1, len(batch) // 2)
+                self._oom_success[key] = 0
                 self._pending = batch + self._pending
                 self.metrics.inc("serving.oom_batch_splits")
-                self.metrics.set("serving.max_batch", float(self.max_batch))
+                self.metrics.set("serving.max_batch",
+                                 float(self._cap_for(batch[0])))
                 self.metrics.set("serving.queue_depth",
                                  self.requests.qsize() + len(self._pending))
                 return 0

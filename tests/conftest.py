@@ -23,3 +23,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # jax 0.9's CPU backend ignores --xla_force_host_platform_device_count; the
 # supported switch is the config option:
 jax.config.update("jax_num_cpu_devices", 8)
+# The env's sitecustomize registers a remote-TPU tunnel backend at interpreter
+# start and jax captures jax_platforms from the env BEFORE this conftest runs,
+# so the os.environ override above is too late for platform selection — every
+# dispatch would silently go through the single-chip tunnel (slow, 1 device).
+# The config update is honored after import and restores the CPU backend.
+jax.config.update("jax_platforms", "cpu")

@@ -215,7 +215,8 @@ def test_oom_batch_splits_and_requests_survive(server):
     worker.submit(r1)
     worker.submit(r2)
     assert worker._process_once() == 0          # OOM -> split, nothing resolves
-    assert worker.max_batch == 1
+    assert worker.max_batch == 4                # configured cap untouched
+    assert worker._cap_for(r1) == 1             # shrunk only for this bucket
     assert not r1._done.is_set() and not r2._done.is_set()
     assert worker._process_once() == 1          # retried serially
     assert worker._process_once() == 1
@@ -223,6 +224,33 @@ def test_oom_batch_splits_and_requests_survive(server):
     assert r1._result.shape == (H, W, 3) and r2._result.shape == (H, W, 3)
     assert m.snapshot()["counters"]["serving.oom_batch_splits"] == 1
     assert worker.failed == 0
+
+
+def test_oom_cap_is_per_resolution_and_restores(server):
+    """The OOM shrink only caps the failing resolution bucket, and a cooldown
+    of successful rounds doubles the cap back up to the configured max."""
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+
+    worker = GenerationWorker(server.worker.pipeline, max_batch=4)
+    worker.oom_restore_after = 2
+    r_small = GenerationRequest(
+        prompt="a", lines=[{"text": "Hi", "position": [8, 16]}])
+    r_big = GenerationRequest(
+        prompt="a", lines=[{"text": "Hi", "position": [8, 16]}],
+        width=server.worker.pipeline.pipe_cfg.width,
+        height=server.worker.pipeline.pipe_cfg.height)
+    key = worker._res_key(r_small)
+    worker._oom_caps[key] = 1
+    worker._oom_success[key] = 0
+    assert worker._cap_for(r_small) == 1
+    assert worker._cap_for(r_big) == 4          # other bucket unaffected
+    worker._note_batch_ok(r_small)
+    worker._note_batch_ok(r_small)              # cooldown reached -> cap 2
+    assert worker._cap_for(r_small) == 2
+    worker._note_batch_ok(r_small)
+    worker._note_batch_ok(r_small)              # cap 4 == configured -> drop
+    assert worker._cap_for(r_small) == 4
+    assert key not in worker._oom_caps
 
 
 def test_oom_single_request_fails_cleanly(server):
