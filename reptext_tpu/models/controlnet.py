@@ -81,6 +81,7 @@ class _ControlSingleLayer(nn.Module):
             attention_backend=self.attention_backend,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            txt_len=self.txt_len,
             name="block",
         )(x, temb, cos, sin)
         # residual over the image-token slice only (reference :377-381)

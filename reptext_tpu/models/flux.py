@@ -80,6 +80,7 @@ class _SingleLayer(nn.Module):
             attention_backend=self.attention_backend,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            txt_len=self.txt_len,
             name="block",
         )(x, temb, cos, sin)
         # after-block injection into the image-token slice, matching

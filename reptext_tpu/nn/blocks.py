@@ -100,9 +100,26 @@ class JointTransformerBlock(nn.Module):
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
 
-        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend,
-                                      rope_cos=rope_cos, rope_sin=rope_sin))
-        txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
+        if self.attention_backend == "ring":
+            # Sequence-parallel path (inside a shard_map over the sp axis):
+            # text tokens replicated, image tokens sharded; K/V exchange via
+            # the ppermute ring (parallel/sequence.py). RoPE is applied here
+            # (local tables) so roped K blocks rotate around the ring.
+            from reptext_tpu.ops.rope import apply_rope_half
+            from reptext_tpu.parallel.sequence import joint_ring_attention_local
+
+            q = apply_rope_half(q, rope_cos, rope_sin)
+            k = apply_rope_half(k, rope_cos, rope_sin)
+            attn_t, attn_i = joint_ring_attention_local(
+                q[:, :, :s_txt], k[:, :, :s_txt], v[:, :, :s_txt],
+                q[:, :, s_txt:], k[:, :, s_txt:], v[:, :, s_txt:],
+            )
+            txt_attn = _merge_heads(attn_t)
+            img_attn = _merge_heads(attn_i)
+        else:
+            attn = _merge_heads(attention(q, k, v, backend=self.attention_backend,
+                                          rope_cos=rope_cos, rope_sin=rope_sin))
+            txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
 
         # Image stream: gated attention + FF
         hidden_states = hidden_states + gate_msa[:, None, :] * dense(self.dim, "to_out")(img_attn)
@@ -139,6 +156,9 @@ class SingleTransformerBlock(nn.Module):
     attention_backend: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # text-token count at the head of the sequence; required by the 'ring'
+    # sequence-parallel backend (text replicated, image sharded)
+    txt_len: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -167,8 +187,27 @@ class SingleTransformerBlock(nn.Module):
         q = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_q")(q)
         k = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_k")(k)
 
-        attn = _merge_heads(attention(q, k, v, backend=self.attention_backend,
-                                      rope_cos=rope_cos, rope_sin=rope_sin))
+        if self.attention_backend == "ring":
+            if self.txt_len is None:
+                raise ValueError(
+                    "attention_backend='ring' needs txt_len on the single block"
+                )
+            from reptext_tpu.ops.rope import apply_rope_half
+            from reptext_tpu.parallel.sequence import joint_ring_attention_local
+
+            s_txt = self.txt_len
+            q = apply_rope_half(q, rope_cos, rope_sin)
+            k = apply_rope_half(k, rope_cos, rope_sin)
+            attn_t, attn_i = joint_ring_attention_local(
+                q[:, :, :s_txt], k[:, :, :s_txt], v[:, :, :s_txt],
+                q[:, :, s_txt:], k[:, :, s_txt:], v[:, :, s_txt:],
+            )
+            attn = jnp.concatenate(
+                [_merge_heads(attn_t), _merge_heads(attn_i)], axis=1
+            )
+        else:
+            attn = _merge_heads(attention(q, k, v, backend=self.attention_backend,
+                                          rope_cos=rope_cos, rope_sin=rope_sin))
 
         joint = jnp.concatenate([attn, mlp], axis=-1)
         out = dense(self.dim, "proj_out")(joint)

@@ -9,7 +9,9 @@ from reptext_tpu.parallel.partition import (  # noqa: F401
 )
 from reptext_tpu.parallel.sequence import (  # noqa: F401
     allgather_attention,
+    joint_ring_attention_local,
     make_sp_mesh,
     ring_attention,
+    sequence_parallel_forward,
     sequence_sharded_attention,
 )

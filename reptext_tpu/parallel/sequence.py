@@ -24,7 +24,7 @@ while tokens shard over sp.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -195,6 +195,103 @@ def sequence_sharded_attention(
     if fn is None:
         raise ValueError(f"unknown sp attention impl {impl!r}")
     return fn(q, k, v, mesh, axis_name)
+
+
+def joint_ring_attention_local(
+    q_t: jax.Array,   # [B, H, S_txt, D] text queries (replicated over sp)
+    k_t: jax.Array,
+    v_t: jax.Array,
+    q_i: jax.Array,   # [B, H, S_img/n, D] local image-query shard
+    k_i: jax.Array,
+    v_i: jax.Array,
+    axis_name: str = "sp",
+) -> Tuple[jax.Array, jax.Array]:
+    """In-context (already inside ``shard_map``) MMDiT joint-sequence ring.
+
+    This is the sp-aware attention the model blocks dispatch to with
+    ``attention_backend='ring'`` (nn/blocks.py): the joint [text; image]
+    sequence has the TEXT tokens replicated on every device and the IMAGE
+    tokens sharded over ``axis_name``. Text K/V are folded into the online-
+    softmax statistics exactly once, then the image K/V blocks rotate around
+    the ring — after n steps both query sets have attended to the full joint
+    sequence. Returns (attn_txt replicated, attn_img local shard); the text
+    output is identical on every device by construction (same replicated
+    inputs, same full K/V stream).
+
+    The reference's attention is single-device torch SDPA over the whole
+    4608-token sequence (SURVEY.md §3.1); this is the green-field >=2048^2
+    growth path (SURVEY.md §2.3) actually wired into the model.
+    """
+    n = jax.lax.axis_size(axis_name)
+    scale = 1.0 / (q_t.shape[-1] ** 0.5)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def init(q):
+        b, h, s, d = q.shape
+        return (
+            jnp.zeros((b, h, s, d), jnp.float32),
+            jnp.full((b, h, s), -jnp.inf, jnp.float32),
+            jnp.zeros((b, h, s), jnp.float32),
+        )
+
+    q32_t, q32_i = q_t.astype(jnp.float32), q_i.astype(jnp.float32)
+    # text K/V contribute exactly once (replicated block, not part of the ring)
+    o_t, m_t, l_t = _online_softmax_block(q32_t, k_t, v_t, *init(q32_t), scale)
+    o_i, m_i, l_i = _online_softmax_block(q32_i, k_t, v_t, *init(q32_i), scale)
+
+    def body(_, carry):
+        o_t, m_t, l_t, o_i, m_i, l_i, k_cur, v_cur = carry
+        o_t, m_t, l_t = _online_softmax_block(q32_t, k_cur, v_cur, o_t, m_t, l_t, scale)
+        o_i, m_i, l_i = _online_softmax_block(q32_i, k_cur, v_cur, o_i, m_i, l_i, scale)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return o_t, m_t, l_t, o_i, m_i, l_i, k_nxt, v_nxt
+
+    o_t, m_t, l_t, o_i, m_i, l_i, _, _ = jax.lax.fori_loop(
+        0, n, body, (o_t, m_t, l_t, o_i, m_i, l_i, k_i, v_i)
+    )
+    attn_t = (o_t / l_t[..., None]).astype(q_t.dtype)
+    attn_i = (o_i / l_i[..., None]).astype(q_i.dtype)
+    return attn_t, attn_i
+
+
+def sequence_parallel_forward(
+    model,
+    params,
+    hidden_states: jax.Array,          # [B, S_img, C] packed latents (global)
+    encoder_hidden_states: jax.Array,  # [B, S_txt, joint_dim]
+    pooled_projections: jax.Array,
+    timestep: jax.Array,
+    img_ids: jax.Array,                # [S_img, 3]
+    txt_ids: jax.Array,
+    guidance=None,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "sp",
+):
+    """Run a FluxTransformer2D forward with the IMAGE SEQUENCE sharded.
+
+    ``model`` must be constructed with ``attention_backend='ring'``. Params
+    and text-side inputs are replicated; packed latents and image RoPE ids
+    shard over ``axis_name``; inside the shard_map the blocks' ring path
+    (joint_ring_attention_local) exchanges K/V over the ring. The output
+    (velocity prediction per image token) comes back sequence-sharded.
+    """
+    tok = P(None, axis_name, None)
+    ids = P(axis_name, None)
+
+    def local(params, hidden_l, ctx, pooled, t, img_ids_l, txt_ids_l, guidance_l):
+        return model.apply(
+            params, hidden_l, ctx, pooled, t, img_ids_l, txt_ids_l, guidance_l
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), tok, P(), P(), P(), ids, P(), P()),
+        out_specs=tok,
+        check_vma=False,
+    )(params, hidden_states, encoder_hidden_states, pooled_projections,
+      timestep, img_ids, txt_ids, guidance)
 
 
 def make_sp_mesh(sp: int, devices=None) -> Mesh:

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
+
 from reptext_tpu.configs import CLIPConfig, ControlNetConfig, FluxConfig, T5Config, VAEConfig
 from reptext_tpu.io.convert import (
     convert_clip,

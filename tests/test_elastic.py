@@ -7,6 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# e2e sampling / heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
+
 from reptext_tpu.sampling.elastic import ElasticTrainer
 
 

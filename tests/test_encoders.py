@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# e2e sampling / heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
+
 from reptext_tpu.configs import CLIPConfig, T5Config, VAEConfig
 from reptext_tpu.nn.clip import CLIPTextEncoder
 from reptext_tpu.nn.t5 import T5Encoder, relative_position_bucket

@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# e2e sampling / heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
+
 from reptext_tpu.configs import (
     CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config, VAEConfig,
 )

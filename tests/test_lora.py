@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
+
 from reptext_tpu.configs import FluxConfig
 from reptext_tpu.io.lora import apply_lora, parse_lora_state
 from reptext_tpu.models import FluxTransformer2D

@@ -1,5 +1,9 @@
 """MultiControlNet composition tests (tiny config)."""
 
+import pytest
+
+# heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
 import dataclasses
 
 import jax

@@ -12,6 +12,9 @@ import os
 import jax
 import pytest
 
+# e2e sampling / heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_scenarios():
     if jax.default_backend() == "cpu" and len(jax.devices()) >= 8:

@@ -1,5 +1,9 @@
 """ControlNet training recipe: frozen base, region-weighted loss, elastic wiring."""
 
+import pytest
+
+# e2e sampling / heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
 import dataclasses
 
 import jax

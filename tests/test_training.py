@@ -1,5 +1,9 @@
 """Flow-matching training step: loss decreases, grads flow through scan stacks."""
 
+import pytest
+
+# e2e sampling / heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,6 +12,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# e2e sampling / heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
+
 from reptext_tpu.configs import PipelineConfig
 from reptext_tpu.sampling import build_schedule
 from reptext_tpu.sampling.sampler import make_txt2img_sampler

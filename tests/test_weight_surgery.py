@@ -1,5 +1,9 @@
 """from_transformer weight surgery + remat (gradient checkpointing) tests."""
 
+import pytest
+
+# heavy-compile module: slow tier (pytest -m 'not slow' skips)
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np
