@@ -132,14 +132,52 @@ def main(argv=None):
         print(f"line {i}: sampled={sampled} cached={cached} "
               f"perfect={perfect} flat={flat}")
 
+    # OCR judge (reptext_tpu/eval/ocr.py, frozen weights in benchmarks/):
+    # character accuracy per region — the discriminative accuracy metric
+    # (floor ~0 on noise, ~1 on perfect renders; see ocr_judge_eval.json).
+    ocr_scores = {}
+    try:
+        from reptext_tpu.eval import ocr as ocr_judge
+
+        judge = ocr_judge.load_judge()
+        texts = [ln.text for ln in lines]
+        crops = {
+            "sampled": [gen[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]
+                        for lc in conds.lines],
+            "cached": [gen_vc[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]
+                       for lc in conds.lines],
+            "perfect": [lc.glyph_image[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]
+                        for lc in conds.lines],
+            "noise_floor": [
+                np.random.default_rng(7).integers(
+                    0, 256, (lc.bbox[3] - lc.bbox[1], lc.bbox[2] - lc.bbox[0], 3)
+                ).astype(np.uint8) for lc in conds.lines],
+        }
+        for name, regions in crops.items():
+            ocr_scores[f"char_accuracy_{name}"] = round(
+                ocr_judge.char_accuracy(regions, texts, judge), 4)
+        # Velocity-cache acceptance gate: caching must not cost more than 1%
+        # character accuracy at the same seed/conditions.
+        ocr_scores["velocity_cache_char_acc_delta"] = round(
+            ocr_scores["char_accuracy_sampled"]
+            - ocr_scores["char_accuracy_cached"], 4)
+        ocr_scores["velocity_cache_acceptable"] = bool(
+            ocr_scores["velocity_cache_char_acc_delta"] < 0.01)
+        print(f"ocr judge: {ocr_scores}")
+    except FileNotFoundError:
+        print("ocr judge weights not found (run benchmarks/train_ocr_judge.py)")
+
     out = {
         "seed": SEED, "size": size, "steps": steps,
         "weights": "converted" if real else "random-init (tiny geometry)",
         "mean_sampled_edge_iou": float(np.mean([r["sampled"]["edge_iou"] for r in rows])),
+        "mean_sampled_edge_f1": float(np.mean([r["sampled"]["edge_f1"] for r in rows])),
         "mean_sampled_ink_corr": float(np.mean([r["sampled"]["ink_corr"] for r in rows])),
         "mean_perfect_edge_iou": float(np.mean([r["perfect_bound"]["edge_iou"] for r in rows])),
+        "mean_perfect_edge_f1": float(np.mean([r["perfect_bound"]["edge_f1"] for r in rows])),
         "mean_cached_edge_iou": float(np.mean(
             [r["velocity_cached"]["edge_iou"] for r in rows])),
+        **ocr_scores,
         "velocity_cache_pixel_mad": round(vc_pixel_mad, 4),
         "generate_s": round(gen_s, 2),
         "lines": rows,

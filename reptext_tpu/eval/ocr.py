@@ -1,0 +1,382 @@
+"""OCR judge: a small CTC conv recognizer for glyph-accuracy scoring.
+
+BASELINE.json's north star demands "OCR-verified glyph accuracy"; no OCR
+engine ships in this environment, and the edge-IoU proxy in
+benchmarks/glyph_fidelity.py is nearly non-discriminative on noisy output
+(random-weight samples score ~0.59 vs 1.0 perfect — VERDICT r2). This module
+closes that gap with a from-scratch recognizer:
+
+- trained purely on SYNTHETIC labeled renders produced by the production
+  conditioning frontend (conditioning/glyph.py: Arabic contextual shaping +
+  bidi + PIL render — the same path that builds the pipeline's glyph
+  conditions, so the judge reads exactly the script forms the pipeline is
+  asked to draw);
+- charset: Arabic letters + Latin capitals + digits (the data.py word pools
+  and the reference demo strings are covered);
+- architecture: 4-conv column encoder -> per-column logits -> CTC
+  (optax.ctc_loss), greedy decode;
+- heavy train-time augmentation (polarity, background level, noise, blur,
+  jitter) so the judge is invariant to the rendering style of sampled
+  images and scores INK SHAPE, not contrast statistics;
+- frozen weights are committed at benchmarks/ocr_judge.npz (see
+  benchmarks/train_ocr_judge.py); `char_accuracy` is the headline metric,
+  with demonstrated floor ~0 on noise and ~1 on perfect renders.
+
+The reference has no accuracy metric of any kind (SURVEY.md §6) — this is
+the framework's own proof obligation, not a ported component.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Class 0 is the CTC blank; class i+1 maps to CHARSET[i].
+ARABIC = "ءآأؤإئابةتثجحخدذرزسشصضطظعغفقكلمنهوىي"
+LATIN = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+DIGITS = "0123456789"
+CHARSET = ARABIC + LATIN + DIGITS
+CHAR_TO_ID = {c: i + 1 for i, c in enumerate(CHARSET)}
+
+IMG_H, IMG_W = 32, 128   # judge input geometry
+FRAMES = 32              # output time steps (IMG_W / 4)
+MAX_LABEL = 12
+
+
+class OCRJudge(nn.Module):
+    """Column-wise conv encoder -> per-frame class logits (CTC head)."""
+
+    num_classes: int = len(CHARSET) + 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, 32, 128, 1] -> logits [B, 32, K]
+        for feat, stride in ((32, (2, 2)), (64, (2, 2)), (96, (2, 1)), (128, (2, 1))):
+            x = nn.Conv(feat, (3, 3), strides=stride)(x)
+            x = nn.relu(x)
+        x = x.mean(axis=1)                      # [B, W/4, 128]
+        x = nn.relu(nn.Dense(128)(x))
+        return nn.Dense(self.num_classes)(x)
+
+
+# ----------------------------------------------------------------- rendering
+
+
+def _font(size: int, font_path: Optional[str] = None):
+    from PIL import ImageFont
+
+    from reptext_tpu.conditioning.glyph import default_font_path
+
+    return ImageFont.truetype(font_path or default_font_path(), size)
+
+
+def render_word(
+    text: str,
+    font_size: int = 40,
+    font_path: Optional[str] = None,
+    pad: int = 4,
+) -> np.ndarray:
+    """Render ``text`` (shaped + bidi'd) white-on-black, tightly cropped.
+
+    Returns a float32 [h, w] image in [0, 1].
+    """
+    from PIL import Image, ImageDraw
+
+    from reptext_tpu.conditioning.arabic import prepare_display_text
+
+    display = prepare_display_text(text)
+    font = _font(font_size, font_path)
+    canvas_w, canvas_h = 8 * font_size, 3 * font_size
+    img = Image.new("L", (canvas_w, canvas_h), 0)
+    draw = ImageDraw.Draw(img)
+    pos = (font_size // 2, font_size // 2)
+    draw.text(pos, display, font=font, fill=255)
+    x0, y0, x1, y1 = (int(v) for v in draw.textbbox(pos, display, font=font))
+    x0, y0 = max(x0 - pad, 0), max(y0 - pad, 0)
+    x1, y1 = min(x1 + pad, canvas_w), min(y1 + pad, canvas_h)
+    arr = np.asarray(img, np.float32)[y0:y1, x0:x1] / 255.0
+    if arr.size == 0:
+        arr = np.zeros((IMG_H, IMG_W), np.float32)
+    return arr
+
+
+def _resize_box(g: np.ndarray) -> np.ndarray:
+    """Aspect-preserving resize of a [h, w] grayscale image into the 32x128
+    box (left-aligned, zero-padded), values scaled to [0, 1]."""
+    from PIL import Image
+
+    h, w = g.shape
+    if h == 0 or w == 0:
+        return np.zeros((IMG_H, IMG_W), np.float32)
+    scale = min(IMG_H / h, IMG_W / w)
+    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    peak = float(g.max())
+    img = Image.fromarray(
+        np.clip(g * (255.0 if peak <= 1.5 else 1.0), 0, 255).astype(np.uint8)
+    ).resize((nw, nh), Image.BILINEAR)
+    small = np.asarray(img, np.float32) / 255.0
+    # pad with the border-estimated background, not 0: for inverted or
+    # low-contrast crops a black pad band is an out-of-distribution block
+    # that the CTC head reads as spurious ink (measured: inverted renders
+    # 0.52 -> ~1.0 char accuracy with bg-pad + dual-polarity decode)
+    border = np.concatenate([small[0, :], small[-1, :], small[:, 0], small[:, -1]])
+    out = np.full((IMG_H, IMG_W), float(np.median(border)), np.float32)
+    out[:nh, :nw] = small
+    return out
+
+
+def _standardize(g: np.ndarray) -> np.ndarray:
+    return (g - g.mean()) / (g.std() + 1e-5)
+
+
+def prepare_crop(region: np.ndarray) -> np.ndarray:
+    """Normalize an arbitrary image crop to judge input [32, 128, 1].
+
+    Grayscale -> aspect-preserving resize into the 32x128 box (left-aligned,
+    zero-padded) -> per-image standardization (mean 0, std 1). Polarity
+    (bright-on-dark vs dark-on-bright) is NOT normalized here — the judge is
+    trained polarity-invariant.
+    """
+    g = region.astype(np.float32)
+    if g.ndim == 3:
+        g = g.mean(axis=-1)
+    return _standardize(_resize_box(g))[:, :, None]
+
+
+def _augment(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Train-time augmentation: background level, contrast, polarity, noise,
+    blur — matches the variability of VAE-decoded sampled text regions."""
+    from scipy import ndimage
+
+    ink = rng.uniform(0.5, 1.0)
+    bg = rng.uniform(0.0, 0.35)
+    out = bg + img * (ink - bg)
+    if rng.random() < 0.5:
+        out = 1.0 - out                              # polarity flip
+    if rng.random() < 0.6:
+        out = ndimage.gaussian_filter(out, rng.uniform(0.2, 0.8))
+    out = out + rng.normal(0.0, rng.uniform(0.01, 0.07), out.shape)
+    return out.astype(np.float32)
+
+
+def random_word(rng: np.random.Generator) -> str:
+    """Uniformly drawn script + length; covers the full charset."""
+    script = rng.choice(["ar", "lat", "dig", "mix"], p=[0.45, 0.35, 0.1, 0.1])
+    n = int(rng.integers(2, 8))
+    if script == "ar":
+        pool = ARABIC
+    elif script == "lat":
+        pool = LATIN
+    elif script == "dig":
+        pool = DIGITS
+    else:
+        pool = LATIN + DIGITS
+    return "".join(rng.choice(list(pool)) for _ in range(n))
+
+
+class RenderCache:
+    """Pre-rendered (resized, un-augmented) word pool for fast train batches.
+
+    TrueType rendering + shaping dominates per-step cost (~20ms/word); caching
+    N rendered words once and re-augmenting small 32x128 crops per step makes
+    training render-bound only at startup.
+    """
+
+    def __init__(self, n_words: int, rng: np.random.Generator,
+                 font_path: Optional[str] = None,
+                 words: Optional[Sequence[str]] = None):
+        self.images: List[np.ndarray] = []
+        self.texts: List[str] = []
+        for i in range(n_words):
+            text = (words[i % len(words)] if words else random_word(rng))
+            size = int(rng.integers(24, 56))
+            self.images.append(
+                _resize_box(render_word(text, font_size=size, font_path=font_path))
+            )
+            self.texts.append(text)
+
+
+def make_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    font_path: Optional[str] = None,
+    words: Optional[Sequence[str]] = None,
+    cache: Optional[RenderCache] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
+    """Synthetic labeled batch: (images [B,32,128,1], labels [B,L],
+    label_paddings [B,L], texts). With a RenderCache, words are drawn from
+    the pre-rendered pool and only augmentation runs per step."""
+    images = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
+    labels = np.zeros((batch_size, MAX_LABEL), np.int32)
+    paddings = np.ones((batch_size, MAX_LABEL), np.float32)
+    texts = []
+    for b in range(batch_size):
+        if cache is not None:
+            j = int(rng.integers(len(cache.texts)))
+            text, img = cache.texts[j], cache.images[j]
+        else:
+            text = (words[int(rng.integers(len(words)))] if words
+                    else random_word(rng))
+            size = int(rng.integers(24, 56))
+            img = _resize_box(render_word(text, font_size=size, font_path=font_path))
+        images[b] = _standardize(_augment(img, rng))[:, :, None]
+        ids = [CHAR_TO_ID[c] for c in text if c in CHAR_TO_ID][:MAX_LABEL]
+        labels[b, : len(ids)] = ids
+        paddings[b, : len(ids)] = 0.0
+        texts.append(text)
+    return images, labels, paddings, texts
+
+
+# ------------------------------------------------------------------ training
+
+
+def train_judge(
+    steps: int = 3000,
+    batch_size: int = 32,
+    lr: float = 1e-3,
+    seed: int = 0,
+    font_path: Optional[str] = None,
+    log_every: int = 200,
+    words: Optional[Sequence[str]] = None,
+) -> Dict:
+    """Train the judge on synthetic renders; returns the param tree."""
+    import optax
+
+    rng = np.random.default_rng(seed)
+    cache = RenderCache(6144, rng, font_path, words=words)
+    model = OCRJudge()
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, IMG_H, IMG_W, 1))
+    )
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, images, labels, paddings):
+        def loss_fn(p):
+            logits = model.apply(p, images)
+            logit_pad = jnp.zeros(logits.shape[:2], jnp.float32)
+            losses = optax.ctc_loss(logits, logit_pad, labels, paddings)
+            return losses.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        images, labels, paddings, _ = make_batch(
+            rng, batch_size, font_path, cache=cache
+        )
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(images), jnp.asarray(labels),
+            jnp.asarray(paddings),
+        )
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            print(f"ocr-judge step {i}: ctc_loss={float(loss):.4f}", flush=True)
+    return params
+
+
+# ----------------------------------------------------------------- inference
+
+
+def decode_logits(logits: np.ndarray) -> List[str]:
+    """Greedy CTC decode: argmax per frame, collapse repeats, drop blanks."""
+    ids = np.asarray(logits).argmax(axis=-1)  # [B, T]
+    out = []
+    for row in ids:
+        chars, prev = [], 0
+        for k in row:
+            if k != prev and k != 0:
+                chars.append(CHARSET[k - 1])
+            prev = k
+        out.append("".join(chars))
+    return out
+
+
+def _edit_distance(a: str, b: str) -> int:
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def char_accuracy(
+    regions: Sequence[np.ndarray],
+    texts: Sequence[str],
+    params,
+    apply_fn=None,
+) -> float:
+    """Mean per-sample character accuracy: 1 - editdist/len(label), floored
+    at 0. ``regions`` are raw image crops (any size, [h,w] or [h,w,3]).
+
+    Both polarities of every crop are decoded and the better one scored —
+    ink-vs-background polarity is a rendering choice, not a glyph error, and
+    standardized crops make inversion an exact negation."""
+    model = OCRJudge()
+    apply_fn = apply_fn or model.apply
+    crops = np.stack([prepare_crop(r) for r in regions])
+    both = np.concatenate([crops, -crops], axis=0)
+    logits = np.asarray(apply_fn(params, jnp.asarray(both)))
+    decoded = decode_logits(logits)
+    n = len(regions)
+    accs = []
+    for i, want in enumerate(texts):
+        want_ids = "".join(c for c in want if c in CHAR_TO_ID)
+        best = 0.0
+        for got in (decoded[i], decoded[n + i]):
+            d = _edit_distance(got, want_ids)
+            best = max(best, 1.0 - d / max(len(want_ids), 1))
+        accs.append(max(0.0, best))
+    return float(np.mean(accs)) if accs else 0.0
+
+
+# --------------------------------------------------------------- persistence
+
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    os.pardir, "benchmarks", "ocr_judge.npz",
+)
+
+
+def save_judge(params, path: str) -> None:
+    np.savez_compressed(path, **_flatten(params))
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    out: Dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return out
+
+
+def load_judge(path: Optional[str] = None) -> Dict:
+    """Load frozen judge weights (benchmarks/ocr_judge.npz by default)."""
+    path = path or os.path.abspath(DEFAULT_WEIGHTS)
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
