@@ -38,6 +38,25 @@ def _round_up(x: int, m: int) -> int:
 _SINGLE_PASS_MAX_SEQ = 6144
 
 
+def _pick_chunks(s_pad: int, block_q: int):
+    """Chunk count + query block for the single-pass kernels.
+
+    Chunks must be 128-lane aligned; prefer 3 (the VPU/MXU-overlap sweet spot
+    measured at 4608), else 4, else 2 (e.g. the inpaint op-point's 5632-pad
+    sequence, where s_pad % 384 != 0). The [block_q, chunk] fp32 logits tile
+    is then capped at ~4.5MB of scoped VMEM — at 5632 keys a single-chunk
+    [512, 5632] tile is 11.5MB and overflows the 16MB scoped-vmem limit
+    (measured: 16.75M > 16M at the 1280x960 dual-CN step)."""
+    n_chunks = 1
+    for cand in (3, 4, 2):
+        if s_pad % (cand * 128) == 0 and s_pad // cand >= 384:
+            n_chunks = cand
+            break
+    while block_q > 256 and block_q * (s_pad // n_chunks) * 4 > 4.5 * 2 ** 20:
+        block_q //= 2
+    return n_chunks, block_q
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int,
                  scale: float, n_chunks: int):
     """Single grid step per (b, h, q-block); whole K/V VMEM-resident.
@@ -295,9 +314,9 @@ def _flash_attention_impl(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    # 3-way chunking needs 128-lane-aligned chunks; chunking below ~1152 keys
-    # has nothing to overlap (the whole softmax fits one VPU burst).
-    n_chunks = 3 if (s_pad % 384 == 0 and s_pad >= 1152) else 1
+    # Chunking below ~1152 keys has nothing to overlap (the whole softmax
+    # fits one VPU burst); _pick_chunks also bounds the fp32 logits tile.
+    n_chunks, block_q = _pick_chunks(s_pad, block_q)
     grid = (b, h, s_pad // block_q)
     kernel = functools.partial(
         _attn_kernel, valid_len=s, scale=scale, n_chunks=n_chunks
@@ -370,9 +389,14 @@ def _flash_attention_rope_impl(
 
     b, h, s, d = q.shape
     s_pad = _round_up(s, 128)
+    if s_pad > 4608:
+        # the K-side rope tables (cos+sin, [s_pad, d] each) cost ~3MB of the
+        # 16MB scoped VMEM at 5632 keys; halving the q block buys the logits
+        # tile back (measured 16.004M > 16M at block_q=512, s_pad=5632)
+        block_q = min(block_q, 256)
     block_q = min(block_q, s_pad)
     s_pad_final = _round_up(s_pad, block_q)
-    n_chunks = 3 if (s_pad_final % 384 == 0 and s_pad_final >= 1152) else 1
+    n_chunks, block_q = _pick_chunks(s_pad_final, block_q)
     if s > _SINGLE_PASS_MAX_SEQ or n_chunks == 1:
         # streaming or tiny path: rotate in XLA. In-kernel rotation was
         # MEASURED SLOWER for the streaming schedule (25.4 vs 22.9 ms at

@@ -50,6 +50,20 @@ CASES = [
     "تخفيضات 20% على apple iphone 15",
 ]
 
+# X1-X8 / isolate boundary cases: this implementation treats explicit
+# embedding/override/isolate codes as removed-BN (X9) and does NOT run the
+# explicit state machines (bidi.py module docstring). These fixtures pin the
+# boundary: each records BOTH fribidi's UAX#9-correct output and this
+# implementation's output, so the divergence is measured, not assumed —
+# and any silent behavior change on either side trips the test.
+EXPLICIT_CASES = [
+    "ab \u202Ecd\u202C gh",          # RLO override: UAX#9 reverses "cd"
+    "ab \u202Bcd ef\u202C gh",       # RLE embedding around Latin
+    "\u0645\u0631\u062d\u0628\u0627 \u2066hi there\u2069 \u0628\u0643",  # LRI isolate in RTL par
+    "abc \u202B\u0634\u0627\u0631\u0639 (\u0645\u0647\u0645)\u202C xyz",  # brackets inside an RLE run (N0 with e_dir != sos; bidi.py _resolve_brackets boundary)
+    "\u2068\u0646\u0635\u2069 neutral first",    # FSI: first-strong inside isolate
+]
+
 
 # directional marks/codes an LTR renderer must not draw (matches
 # reptext_tpu.conditioning.bidi._REMOVED)
@@ -96,9 +110,24 @@ def log2vis(text: str, lib) -> str:
 
 
 def main():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from reptext_tpu.conditioning.bidi import reorder_visual
+
     path = ctypes.util.find_library("fribidi") or "libfribidi.so.0"
     lib = ctypes.CDLL(path)
     fixtures = [{"logical": t, "visual": log2vis(t, lib)} for t in CASES]
+    for t in EXPLICIT_CASES:
+        uax9 = log2vis(t, lib)
+        ours = reorder_visual(t)
+        fixtures.append({
+            "logical": t,
+            "visual": uax9,            # FriBidi / full UAX#9 (X1-X8 run)
+            "visual_ours": ours,       # this impl (explicit codes -> X9)
+            "explicit": True,
+            "matches_uax9": ours == uax9,
+        })
     out_path = os.path.join(os.path.dirname(__file__), "fixtures", "bidi_cases.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as f:
