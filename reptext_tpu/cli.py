@@ -88,6 +88,11 @@ def main(argv=None) -> int:
     parser.add_argument("--negative-prompt", default=None,
                         help="inpaint: CFG negative prompt (default: reference's)")
     parser.add_argument("--true-guidance-scale", type=float, default=1.0)
+    parser.add_argument("--shard", default=None, metavar="DPxTP",
+                        help="shard transformer/ControlNet params over a "
+                             "dp x tp device mesh (e.g. 2x4, or 'auto' = "
+                             "1 x all local devices); the jitted samplers "
+                             "then run tensor-parallel over ICI")
     parser.add_argument("--attention-backend",
                         choices=["auto", "xla", "pallas"], default="auto",
                         help="attention impl: auto = Pallas flash kernel on "
@@ -193,6 +198,22 @@ def main(argv=None) -> int:
     else:
         pipeline = FluxRepTextPipeline.create(**create_kwargs)
 
+    mesh = None
+    if args.shard:
+        import jax as _jax
+
+        from reptext_tpu.parallel import make_mesh
+
+        if args.shard == "auto":
+            dp, tp = 1, len(_jax.devices())
+        else:
+            try:
+                dp, tp = (int(x) for x in args.shard.lower().split("x"))
+            except ValueError:
+                parser.error("--shard expects DPxTP (e.g. 2x4) or 'auto'")
+        mesh = make_mesh(dp=dp, tp=tp)
+        pipeline.shard_for_inference(mesh)
+
     if args.mode == "train":
         return _train(args, pipeline)
 
@@ -211,6 +232,8 @@ def main(argv=None) -> int:
                 inpaint_cn_cfg=_dc.replace(cn_cfg, extra_condition_channels=4),
                 **create_kwargs,
             )
+            if mesh is not None:
+                inpaint_pipeline.shard_for_inference(mesh)
 
         server = GenerationServer(
             pipeline, host=args.host, port=args.port, tokenizer=tokenizer,

@@ -267,31 +267,40 @@ def sequence_parallel_forward(
     guidance=None,
     mesh: Optional[Mesh] = None,
     axis_name: str = "sp",
+    controlnet_block_samples=None,          # [L, B, S_img, D] or None
+    controlnet_single_block_samples=None,   # [L1, B, S_img, D] or None
 ):
     """Run a FluxTransformer2D forward with the IMAGE SEQUENCE sharded.
 
     ``model`` must be constructed with ``attention_backend='ring'``. Params
-    and text-side inputs are replicated; packed latents and image RoPE ids
-    shard over ``axis_name``; inside the shard_map the blocks' ring path
-    (joint_ring_attention_local) exchanges K/V over the ring. The output
-    (velocity prediction per image token) comes back sequence-sharded.
+    and text-side inputs are replicated; packed latents, image RoPE ids, and
+    any ControlNet residual stacks shard over ``axis_name`` (residual
+    injection is per-token, so token-sharded stacks compose with the ring
+    attention without extra collectives); inside the shard_map the blocks'
+    ring path (joint_ring_attention_local) exchanges K/V over the ring. The
+    output (velocity prediction per image token) comes back sequence-sharded.
     """
     tok = P(None, axis_name, None)
     ids = P(axis_name, None)
+    res = P(None, None, axis_name, None)
 
-    def local(params, hidden_l, ctx, pooled, t, img_ids_l, txt_ids_l, guidance_l):
+    def local(params, hidden_l, ctx, pooled, t, img_ids_l, txt_ids_l,
+              guidance_l, block_res_l, single_res_l):
         return model.apply(
-            params, hidden_l, ctx, pooled, t, img_ids_l, txt_ids_l, guidance_l
+            params, hidden_l, ctx, pooled, t, img_ids_l, txt_ids_l, guidance_l,
+            controlnet_block_samples=block_res_l,
+            controlnet_single_block_samples=single_res_l,
         )
 
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), tok, P(), P(), P(), ids, P(), P()),
+        in_specs=(P(), tok, P(), P(), P(), ids, P(), P(), res, res),
         out_specs=tok,
         check_vma=False,
     )(params, hidden_states, encoder_hidden_states, pooled_projections,
-      timestep, img_ids, txt_ids, guidance)
+      timestep, img_ids, txt_ids, guidance,
+      controlnet_block_samples, controlnet_single_block_samples)
 
 
 def make_sp_mesh(sp: int, devices=None) -> Mesh:

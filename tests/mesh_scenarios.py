@@ -188,7 +188,28 @@ def check_sp_model_forward():
         inputs["txt_ids"], inputs["guidance"], mesh=mesh))
     got = np.asarray(fn(params, inputs["hidden_states"]))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
-    print("sp model forward parity OK (ring attention inside the blocks)")
+
+    # with ControlNet residual stacks (token-sharded injection)
+    r = np.random.default_rng(3)
+    b, s_img = inputs["hidden_states"].shape[:2]
+    inner = CFG.inner_dim
+    blocks = jnp.asarray(
+        0.1 * r.standard_normal((CFG.num_layers, b, s_img, inner)), jnp.float32)
+    singles = jnp.asarray(
+        0.1 * r.standard_normal((CFG.num_single_layers, b, s_img, inner)),
+        jnp.float32)
+    want_cn = np.asarray(ref_model.apply(
+        params, **inputs, controlnet_block_samples=blocks,
+        controlnet_single_block_samples=singles))
+    got_cn = np.asarray(jax.jit(lambda p, h, bb, ss: sequence_parallel_forward(
+        sp_model, p, h, inputs["encoder_hidden_states"],
+        inputs["pooled_projections"], inputs["timestep"], inputs["img_ids"],
+        inputs["txt_ids"], inputs["guidance"], mesh=mesh,
+        controlnet_block_samples=bb, controlnet_single_block_samples=ss,
+    ))(params, inputs["hidden_states"], blocks, singles))
+    np.testing.assert_allclose(got_cn, want_cn, rtol=1e-4, atol=1e-4)
+    print("sp model forward parity OK (ring attention inside the blocks, "
+          "incl. ControlNet residual injection)")
 
 
 def main():

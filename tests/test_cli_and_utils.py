@@ -58,3 +58,25 @@ def test_cli_argument_validation():
         main(["--text", "a", "--position", "1", "2", "--position", "3", "4"])
     with pytest.raises(SystemExit):  # no weights source
         main(["--text", "a", "--position", "1", "2"])
+    with pytest.raises(SystemExit):  # malformed --shard
+        main(["--text", "a", "--position", "1", "2", "--random-weights",
+              "--tiny", "--shard", "2by4"])
+
+
+@pytest.mark.slow
+def test_cli_sharded_generation(tmp_path):
+    """End-to-end CLI txt2img with --shard 2x4: the sharded sampler runs on
+    the 8-device CPU mesh and writes an image."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from reptext_tpu.cli import main
+
+    out = tmp_path / "out.png"
+    rc = main([
+        "--text", "Hi", "--position", "8", "16", "--tiny", "--random-weights",
+        "--size", "64", "--steps", "2", "--controlnet-step", "1",
+        "--font-size", "24", "--shard", "2x4", "--output", str(out),
+    ])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
