@@ -48,8 +48,14 @@ STEPS = 30                      # reference op-point: infer.py:123-129
 A100_IMAGES_PER_MIN = 2.4       # conservative denominator (see module docstring)
 A100_IMAGES_PER_MIN_BRACKET = (1.0, 2.4)
 
-# measured depths (fit on one chip alongside activations); full = FLUX.1-dev
-DEPTHS = [(2, 4), (4, 8), (6, 12)]
+# measured depths (fit on one chip alongside activations); full = FLUX.1-dev.
+# (8, 16) = 16 depth-units ~= 5B params ~= 10GB bf16 resident — the deepest
+# config that reliably fits a 16GB chip with batch-1 4096-token activations
+# (VERDICT r2 #3: a measured point 84%% of the way to full depth in units,
+# vs the previous deepest (6,12) at 6x extrapolation).
+DEPTHS = [(2, 4), (4, 8), (6, 12), (8, 16)]
+# attempted opportunistically (try/except OOM): ~6.3B params ~= 12.6GB bf16
+STRETCH_DEPTH = (10, 20)
 FULL_DOUBLE, FULL_SINGLE = 19, 38
 CN_DOUBLE, CN_SINGLE = 4, 10    # RepText ControlNet depth
 
@@ -112,6 +118,76 @@ def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B,
             controlnet_block_samples=block, controlnet_single_block_samples=single,
         )
     return fn, {"base": params, "cn": cn_params}, hidden
+
+
+def build_inpaint_step(num_double: int, num_single: int,
+                       lat_h: int = 120, lat_w: int = 160,
+                       with_cn: bool = True):
+    """The inpaint OP-POINT step (RepText/infer_inpaint.py:66-68,132-151):
+    true-CFG batch 2, base + RepText CN (128-feat cond) + inpaint CN
+    (68-feat cond) running EVERY step, at the reference inpaint geometry
+    1280x960 -> 160x120 latent -> 4800 packed tokens. Exercises the
+    non-square RoPE grid and the attention kernel's >4608-token path."""
+    from reptext_tpu.configs import ControlNetConfig, FluxConfig
+    from reptext_tpu.models import FluxTransformer2D, RepTextControlNet
+    from reptext_tpu.ops.latents import prepare_latent_image_ids
+
+    batch = 2  # CFG [neg; pos]
+    s_img = (lat_h // 2) * (lat_w // 2)
+    flux_cfg = dataclasses.replace(
+        FluxConfig(), num_layers=num_double, num_single_layers=num_single
+    )
+    model = FluxTransformer2D(flux_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    hidden = jax.random.normal(rng, (batch, s_img, 64), jnp.bfloat16)
+    ctx = jax.random.normal(rng, (batch, S_TXT, 4096), jnp.bfloat16)
+    pooled = jax.random.normal(rng, (batch, 768), jnp.bfloat16)
+    t = jnp.full((batch,), 0.5, jnp.bfloat16)
+    img_ids = prepare_latent_image_ids(lat_h, lat_w)
+    txt_ids = jnp.zeros((S_TXT, 3))
+    guidance = jnp.full((batch,), 3.5, jnp.bfloat16)
+    params = jax.jit(model.init)(
+        rng, hidden, ctx, pooled, t, img_ids, txt_ids, guidance
+    )
+
+    if not with_cn:
+        # base-only CFG pair at the inpaint geometry: gives the base depth
+        # slope at 4800 tokens/batch 2 without the ~5.7GB dual-CN params
+        # (base(3,6)+2 CNs measured 16.35G > 15.75G HBM)
+        def fn(p, h):
+            return model.apply(p, h, ctx, pooled, t, img_ids, txt_ids, guidance)
+        return fn, params, hidden
+
+    def make_cn(extra):
+        cfg = dataclasses.replace(
+            ControlNetConfig(), num_layers=CN_DOUBLE, num_single_layers=CN_SINGLE,
+            extra_condition_channels=extra,
+        )
+        cn = RepTextControlNet(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        cond = jax.random.normal(rng, (batch, s_img, 64 + extra), jnp.bfloat16)
+        p = jax.jit(cn.init)(
+            rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids, guidance
+        )
+        return cn, p, cond
+
+    cn_rep, p_rep, cond_rep = make_cn(64)   # canny+position: 128 feats/token
+    cn_inp, p_inp, cond_inp = make_cn(4)    # 17ch packed: 68 feats/token
+
+    def fn(p, h):
+        b1, s1 = cn_rep.apply(
+            p["rep"], h, cond_rep, ctx, pooled, t, img_ids, txt_ids, guidance
+        )
+        b2, s2 = cn_inp.apply(
+            p["inp"], h, cond_inp, ctx, pooled, t, img_ids, txt_ids, guidance
+        )
+        return model.apply(
+            p["base"], h, ctx, pooled, t, img_ids, txt_ids, guidance,
+            controlnet_block_samples=b1 + b2,
+            controlnet_single_block_samples=s1 + s2,
+        )
+
+    return fn, {"base": params, "rep": p_rep, "inp": p_inp}, hidden
 
 
 def build_sampler(num_double: int, num_single: int, sampler_steps: int,
@@ -306,16 +382,34 @@ def main(verbose: bool = False):
         gc.collect()
         return t
 
-    # ---- base transformer step at three depths -> linear depth fit
+    # ---- base transformer step at four depths -> linear depth fit
     depth_ts = []
-    for d, s in DEPTHS:
+    depths = list(DEPTHS)
+    for d, s in depths:
         depth_ts.append(measure(f"base depth ({d},{s})",
                                 lambda d=d, s=s: build_step(d, s, False)))
-    units = [_depth_units(d, s) for d, s in DEPTHS]
+    # opportunistic stretch point (~12.6GB bf16 params): measured if it fits
+    stretch_ms = None
+    try:
+        t_stretch = measure(
+            f"base depth {STRETCH_DEPTH} (stretch)",
+            lambda: build_step(*STRETCH_DEPTH, False))
+        depths.append(STRETCH_DEPTH)
+        depth_ts.append(t_stretch)
+        stretch_ms = round(t_stretch * 1e3, 2)
+    except Exception as e:  # noqa: BLE001 — expected: RESOURCE_EXHAUSTED
+        log(f"stretch depth {STRETCH_DEPTH} skipped: {type(e).__name__}")
+    units = [_depth_units(d, s) for d, s in depths]
+    # prediction check at the DEEPEST point: fit on all shallower points,
+    # predict the deepest, report the relative error (the honest version of
+    # "is the 19+38 extrapolation linear?")
+    a_sh, b_sh = _lstsq_line(units[:-1], depth_ts[:-1])
+    deepest_pred_err = abs(depth_ts[-1] - (a_sh + b_sh * units[-1])) / depth_ts[-1]
+    # final fit uses every measured point
     overhead, per_unit = _lstsq_line(units, depth_ts)
     overhead = max(overhead, 0.0)
     # linearity check: middle point vs the line through the outer two
-    a2, b2 = _lstsq_line([units[0], units[2]], [depth_ts[0], depth_ts[2]])
+    a2, b2 = _lstsq_line([units[0], units[-1]], [depth_ts[0], depth_ts[-1]])
     lin_residual = abs(depth_ts[1] - (a2 + b2 * units[1])) / depth_ts[1]
 
     # ---- batch scaling probe: compute-bound => t(b=2) ~= 2x t(b=1); the
@@ -338,6 +432,27 @@ def main(verbose: bool = False):
         "step+inpaintCN", lambda: build_step(*DEPTHS[0], True, cn_extra=4)
     )
     icn_cost = max(t_icn_step - depth_ts[0], 0.0)
+
+    # ---- inpaint op-point DIRECT measurement (VERDICT r2 #6): the actual
+    # dual-CN + CFG-batch-2 step at 1280x960 (4800 tokens, non-square RoPE),
+    # measured at two base depths and extrapolated linearly in base depth
+    # (the two CNs are fixed-depth => they live in the fit intercept).
+    # The dual full-width CNs (~5.7GB bf16) + CFG-batch-2 4800-token
+    # activations only fit alongside the SHALLOWEST base on the 16GB chip
+    # (base (3,6) + CNs measured 16.35G > 15.75G HBM), so the full-depth
+    # estimate is decomposed: dual-CN marginal measured once at (2,4), base
+    # depth slope measured base-only at the same geometry/batch.
+    t_inp_24 = measure("inpaint op-point step, base (2,4)",
+                       lambda: build_inpaint_step(2, 4))
+    inp_base_depths = [(2, 4), (6, 12)]
+    inp_base_ts = [
+        measure(f"inpaint base-only (CFG b2, 4800 tok), base ({d},{s})",
+                lambda d=d, s=s: build_inpaint_step(d, s, with_cn=False))
+        for d, s in inp_base_depths
+    ]
+    inp_units = [_depth_units(d, s) for d, s in inp_base_depths]
+    inp_a, inp_b = _lstsq_line(inp_units, inp_base_ts)
+    inp_dual_cn_cost = max(t_inp_24 - (inp_a + inp_b * inp_units[0]), 0.0)
 
     # ---- REAL fused sampler (lax.scan, gating, masking) at reduced depth
     sampler_steps = 10
@@ -412,15 +527,39 @@ def main(verbose: bool = False):
         "vs_baseline_bracket": [round(images_per_min / hi, 4),
                                 round(images_per_min / lo, 4)],
         "measured_step_ms_by_depth": {
-            f"{d}+{s}": round(t * 1e3, 2) for (d, s), t in zip(DEPTHS, depth_ts)
+            f"{d}+{s}": round(t * 1e3, 2) for (d, s), t in zip(depths, depth_ts)
         },
         "depth_fit_residual_frac": round(lin_residual, 4),
+        # fit on all shallower points predicting the deepest measured point
+        "depth_fit_error_at_deepest": round(deepest_pred_err, 4),
+        "deepest_measured": f"{depths[-1][0]}+{depths[-1][1]}",
+        "stretch_depth_step_ms": stretch_ms,
         "batch2_step_time_ratio": round(batch2_ratio, 4),
         "controlnet_marginal_ms": round(cn_cost * 1e3, 2),
         "inpaint_cn_marginal_ms": round(icn_cost * 1e3, 2),
+        # derived composition at 1024^2 (kept for cross-round continuity)
         "inpaint_extrapolated_full_step_ms": round(
             batch2_ratio * (t_full_base + cn_cost + icn_cost)
             * sampler_factor * 1e3, 2),
+        # DIRECT inpaint op-point (1280x960, 4800 tokens, dual-CN, CFG b=2;
+        # RepText/infer_inpaint.py:66-68,132-151): dual-CN marginal measured
+        # at (2,4) + base-only depth fit at the same geometry/batch
+        "inpaint_oppoint_measured_step_ms": {
+            "dualcn_2+4": round(t_inp_24 * 1e3, 2),
+            **{f"base_{d}+{s}": round(t * 1e3, 2)
+               for (d, s), t in zip(inp_base_depths, inp_base_ts)},
+        },
+        "inpaint_oppoint_dual_cn_marginal_ms": round(inp_dual_cn_cost * 1e3, 2),
+        "inpaint_oppoint_full_step_ms": round(
+            (inp_a + inp_b * full_units + inp_dual_cn_cost)
+            * sampler_factor * 1e3, 2),
+        "inpaint_images_per_min": round(60.0 / (
+            STEPS * (inp_a + inp_b * full_units + inp_dual_cn_cost)
+            * sampler_factor
+            # per-image costs scaled by the 1280x960/1024^2 pixel ratio:
+            # decode + 4 cond encodes (canny, position, glyph, masked-image)
+            # + prompt encode x2 (true CFG encodes the negative too)
+            + 1.171875 * (t_vae_dec + 4 * t_vae_enc) + 2 * t_text), 4),
         "sampler_measured_step_ms": round(sampler_step * 1e3, 2),
         "sampler_overhead_factor": round(sampler_factor, 4),
         # opt-in velocity caching (interval=2): measured sampler speedup at
@@ -455,7 +594,12 @@ def main(verbose: bool = False):
             "mean_sampled_ink_corr": fid["mean_sampled_ink_corr"],
             "weights": fid["weights"],
         }
-        for key in ("mean_cached_edge_iou", "velocity_cache_pixel_mad"):
+        for key in ("mean_cached_edge_iou", "velocity_cache_pixel_mad",
+                    "mean_sampled_edge_f1", "mean_perfect_edge_f1",
+                    "char_accuracy_sampled", "char_accuracy_cached",
+                    "char_accuracy_perfect", "char_accuracy_noise_floor",
+                    "velocity_cache_char_acc_delta",
+                    "velocity_cache_acceptable"):
             if key in fid:
                 result["glyph_fidelity"][key] = fid[key]
     print(json.dumps(result))
