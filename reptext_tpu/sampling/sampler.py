@@ -244,3 +244,57 @@ def make_txt2img_sampler(
 
     sample.chunked = sample_chunk
     return sample
+
+
+def make_sp_txt2img_sampler(
+    flux_apply: Callable,
+    controlnet_apply: Callable,
+    schedule: FlowMatchSchedule,
+    pipe_cfg: PipelineConfig,
+    mesh,
+    axis_name: str = "sp",
+    compute_dtype: Any = jnp.float32,
+) -> Callable:
+    """SEQUENCE-PARALLEL variant of the fused sampler: the entire lax.scan
+    denoise loop (ControlNet fwd + regional masking + base fwd + Euler
+    update) runs under ONE ``shard_map`` with the image-token axis sharded
+    over ``axis_name``.
+
+    Both models must be constructed with ``attention_backend='ring'``: the
+    blocks then exchange K/V via the ppermute ring
+    (parallel/sequence.joint_ring_attention_local) while every other op in
+    the loop — embedders, AdaLN, FFs, residual heads, regional masks, the
+    Euler update — is per-token and runs collective-free on the local shard.
+    The K/V ring is the ONLY communication per block per step.
+
+    This is the >=2048^2 multi-chip growth path (SURVEY.md §2.3/§5) as an
+    actual runnable pipeline stage, not just a standalone attention kernel;
+    validated sharded==single-device on the 8-device CPU mesh
+    (tests/mesh_scenarios.py::check_sp_sampler). The reference is strictly
+    single-GPU (SURVEY.md §2.3).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    base = make_txt2img_sampler(
+        flux_apply, controlnet_apply, schedule, pipe_cfg, compute_dtype
+    )
+    tok = P(None, axis_name, None)       # [B, S, C] latents / [N, S, F] conds
+    ids = P(axis_name, None)             # [S, 3] image RoPE ids
+
+    def sample(
+        flux_params, cn_params, latents, cond_tokens, token_masks,
+        prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+    ):
+        cond_spec = tok if cond_tokens.ndim == 3 else P(None, None, axis_name, None)
+        mask_spec = tok if token_masks.ndim == 3 else P(None, None, axis_name, None)
+        return jax.shard_map(
+            base,
+            mesh=mesh,
+            in_specs=(P(), P(), tok, cond_spec, mask_spec,
+                      P(), P(), P(), ids, P()),
+            out_specs=tok,
+            check_vma=False,
+        )(flux_params, cn_params, latents, cond_tokens, token_masks,
+          prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance)
+
+    return sample

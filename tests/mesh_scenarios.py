@@ -212,6 +212,61 @@ def check_sp_model_forward():
           "incl. ControlNet residual injection)")
 
 
+def check_sp_sampler():
+    """SEQUENCE-PARALLEL fused sampler: the whole denoise scan (CN + masks +
+    base + Euler) under one shard_map with tokens sharded over sp must
+    reproduce the single-device sampler's latents."""
+    import functools
+
+    from reptext_tpu.configs import ControlNetConfig, PipelineConfig
+    from reptext_tpu.models import RepTextControlNet
+    from reptext_tpu.parallel import make_sp_mesh
+    from reptext_tpu.sampling.flow_match import build_schedule
+    from reptext_tpu.sampling.sampler import (
+        make_sp_txt2img_sampler, make_txt2img_sampler)
+
+    cn_cfg = ControlNetConfig().tiny()
+    steps = 2
+    pipe_cfg = PipelineConfig(num_inference_steps=steps,
+                              controlnet_conditioning_step=steps,
+                              controlnet_conditioning_scale=0.8)
+    schedule = build_schedule(steps, 16)
+    inputs = _inputs(b=1)
+    r = np.random.default_rng(9)
+    cond = jnp.asarray(
+        r.standard_normal((1, 16, CFG.in_channels + cn_cfg.extra_condition_channels)),
+        jnp.float32)
+    mask = jnp.asarray((r.random((1, 16, 1)) > 0.3).astype(np.float32))
+
+    def build(backend):
+        flux = FluxTransformer2D(CFG, attention_backend=backend)
+        cn = RepTextControlNet(cn_cfg, attention_backend=backend)
+        return (functools.partial(flux.apply), functools.partial(cn.apply),
+                flux, cn)
+
+    flux_apply, cn_apply, flux, cn = build("xla")
+    flux_params = flux.init(jax.random.PRNGKey(0), **inputs)
+    cn_params = cn.init(
+        jax.random.PRNGKey(1), inputs["hidden_states"][:1], cond[:1],
+        inputs["encoder_hidden_states"][:1], inputs["pooled_projections"][:1],
+        inputs["timestep"][:1], inputs["img_ids"], inputs["txt_ids"],
+        inputs["guidance"][:1])
+
+    args = (flux_params, cn_params, inputs["hidden_states"][:1], cond, mask,
+            inputs["encoder_hidden_states"][:1],
+            inputs["pooled_projections"][:1], inputs["txt_ids"],
+            inputs["img_ids"], inputs["guidance"][:1])
+    want = np.asarray(
+        make_txt2img_sampler(flux_apply, cn_apply, schedule, pipe_cfg)(*args))
+
+    sp_flux_apply, sp_cn_apply, _, _ = build("ring")
+    mesh = make_sp_mesh(8)
+    got = np.asarray(jax.jit(make_sp_txt2img_sampler(
+        sp_flux_apply, sp_cn_apply, schedule, pipe_cfg, mesh))(*args))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    print("sp fused-sampler parity OK (whole denoise scan sequence-sharded)")
+
+
 def main():
     assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8, (
         jax.default_backend(), len(jax.devices()))
@@ -224,6 +279,7 @@ def main():
     check_param_sharding_rules(params)
     check_sharded_forward_parity(model, params, inputs)
     check_sp_model_forward()
+    check_sp_sampler()
     check_pipeline_tp_inference()
     print("ALL MESH SCENARIOS OK")
 
