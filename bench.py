@@ -602,6 +602,17 @@ def main(verbose: bool = False):
                     "velocity_cache_acceptable"):
             if key in fid:
                 result["glyph_fidelity"][key] = fid[key]
+    # trained-weights end-to-end proof (examples/overfit_e2e.py): the only
+    # non-random-weight fidelity evidence available without network egress
+    if os.path.isfile("benchmarks/overfit_e2e.json"):
+        ov = json.loads(open("benchmarks/overfit_e2e.json").read())
+        result["overfit_e2e"] = {
+            k: ov[k] for k in (
+                "char_accuracy_trained", "char_accuracy_random",
+                "mean_edge_iou_trained", "mean_edge_iou_random",
+                "vae_recon_psnr_db", "protocol",
+            ) if k in ov
+        }
     print(json.dumps(result))
 
 

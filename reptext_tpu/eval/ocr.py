@@ -134,18 +134,60 @@ def _standardize(g: np.ndarray) -> np.ndarray:
     return (g - g.mean()) / (g.std() + 1e-5)
 
 
+def _canonicalize(g: np.ndarray, pad_frac: float = 0.18) -> np.ndarray:
+    """Normalize crop TIGHTNESS: crop to the ink bounding box, then add a
+    fixed background-filled margin (``pad_frac`` of the ink height).
+
+    Callers crop text regions at wildly different tightness — render_word
+    pads 4px, the pipelines crop at the exact ``draw.textbbox`` box whose
+    glyphs touch the edges. The judge is scale-sensitive, so eval and train
+    inputs both pass through this canonical form (measured before the fix:
+    tight ground-truth bbox crops decoded at 0.51 char accuracy vs 1.0 for
+    padded renders of the same words).
+
+    Ink detection: deviation from the border-median background > 25% of the
+    crop's peak deviation. Degenerates safely on noise (bbox ~ full crop)
+    and flat crops (no ink -> returned unchanged).
+    """
+    h, w = g.shape
+    if h < 4 or w < 4:
+        return g
+    border = np.concatenate([g[0, :], g[-1, :], g[:, 0], g[:, -1]])
+    bg = float(np.median(border))
+    dev = np.abs(g - bg)
+    peak = float(dev.max())
+    if peak <= 1e-6:
+        return g
+    ink = dev > 0.25 * peak
+    rows = np.flatnonzero(ink.any(axis=1))
+    cols = np.flatnonzero(ink.any(axis=0))
+    if rows.size == 0 or cols.size == 0:
+        return g
+    y0, y1 = rows[0], rows[-1] + 1
+    x0, x1 = cols[0], cols[-1] + 1
+    tight = g[y0:y1, x0:x1]
+    ph = max(2, int(round(pad_frac * (y1 - y0))))
+    pw = ph
+    out = np.full((y1 - y0 + 2 * ph, x1 - x0 + 2 * pw), bg, np.float32)
+    out[ph:ph + y1 - y0, pw:pw + x1 - x0] = tight
+    return out
+
+
 def prepare_crop(region: np.ndarray) -> np.ndarray:
     """Normalize an arbitrary image crop to judge input [32, 128, 1].
 
-    Grayscale -> aspect-preserving resize into the 32x128 box (left-aligned,
-    zero-padded) -> per-image standardization (mean 0, std 1). Polarity
-    (bright-on-dark vs dark-on-bright) is NOT normalized here — the judge is
-    trained polarity-invariant.
+    Grayscale -> tightness canonicalization (:func:`_canonicalize`) ->
+    aspect-preserving resize into the 32x128 box (left-aligned) ->
+    per-image standardization (mean 0, std 1). Polarity (bright-on-dark vs
+    dark-on-bright) is NOT normalized here — the judge is trained
+    polarity-invariant. Training batches apply the same canonicalization
+    (RenderCache), so train and eval tightness distributions match by
+    construction.
     """
     g = region.astype(np.float32)
     if g.ndim == 3:
         g = g.mean(axis=-1)
-    return _standardize(_resize_box(g))[:, :, None]
+    return _standardize(_resize_box(_canonicalize(g)))[:, :, None]
 
 
 def _augment(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -195,9 +237,11 @@ class RenderCache:
         for i in range(n_words):
             text = (words[i % len(words)] if words else random_word(rng))
             size = int(rng.integers(24, 56))
-            self.images.append(
-                _resize_box(render_word(text, font_size=size, font_path=font_path))
-            )
+            # same tightness canonicalization as eval-time prepare_crop, so
+            # the judge never sees a tightness distribution it isn't scored on
+            self.images.append(_resize_box(_canonicalize(
+                render_word(text, font_size=size, font_path=font_path)
+            )))
             self.texts.append(text)
 
 
@@ -223,7 +267,8 @@ def make_batch(
             text = (words[int(rng.integers(len(words)))] if words
                     else random_word(rng))
             size = int(rng.integers(24, 56))
-            img = _resize_box(render_word(text, font_size=size, font_path=font_path))
+            img = _resize_box(_canonicalize(
+                render_word(text, font_size=size, font_path=font_path)))
         images[b] = _standardize(_augment(img, rng))[:, :, None]
         ids = [CHAR_TO_ID[c] for c in text if c in CHAR_TO_ID][:MAX_LABEL]
         labels[b, : len(ids)] = ids

@@ -139,6 +139,41 @@ def make_controlnet_train_step(
     return step
 
 
+def make_joint_train_step(
+    flux_apply: Callable,
+    cn_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    text_loss_weight: float = 2.0,
+    conditioning_scale: float = 1.0,
+) -> Callable:
+    """Full-model training: gradients through BOTH the base transformer and
+    the ControlNet (same region-weighted flow-matching loss as the CN-only
+    recipe). Returns ``step(params, opt_state, batch, rng) ->
+    (params, opt_state, loss)`` where ``params = {"flux": ..., "controlnet":
+    ...}`` is one optimizer-managed tree.
+
+    This is the from-scratch / full-fine-tune path (the CN-only recipe above
+    is the reference-style frozen-base training, RepText paper §training);
+    it also powers the end-to-end trained-weights fidelity demo
+    (examples/overfit_e2e.py), which memorizes a tiny synthetic set to prove
+    the train -> sample -> OCR loop on non-random weights.
+    """
+
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            return controlnet_flow_match_loss(
+                flux_apply, cn_apply, p["controlnet"], p["flux"], batch, rng,
+                text_loss_weight, conditioning_scale,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def bind_frozen_base(step: Callable, flux_params: Any) -> Callable:
     """Adapt a controlnet train step to the ElasticTrainer signature
     ``(params, opt_state, batch, rng) -> (params, opt_state, loss)``.
