@@ -319,6 +319,99 @@ def convert_clip(state: Dict[str, np.ndarray], cfg: CLIPConfig) -> Dict:
     return {"params": params}
 
 
+def convert_clip_vision(state: Dict[str, np.ndarray], cfg) -> Dict:
+    """transformers CLIPVisionModelWithProjection -> nn/clip_vision.py tree.
+
+    (The IP-Adapter image encoder; reference compatibility surface:
+    RepText/README.md:183 via diffusers' image_encoder.)
+    """
+    vm = "vision_model"
+    params: Dict[str, Any] = {
+        "class_embedding": state[f"{vm}.embeddings.class_embedding"],
+        "patch_embedding": {
+            "kernel": np.ascontiguousarray(
+                state[f"{vm}.embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0)
+            )
+        },
+        "position_embedding": {
+            "embedding": state[f"{vm}.embeddings.position_embedding.weight"]
+        },
+        # transformers preserves this historical typo in the checkpoint key
+        "pre_layrnorm": _norm_affine(state, f"{vm}.pre_layrnorm"),
+        "post_layernorm": _norm_affine(state, f"{vm}.post_layernorm"),
+        "visual_projection": {
+            "kernel": np.ascontiguousarray(state["visual_projection.weight"].T)
+        },
+    }
+    for i in range(cfg.num_layers):
+        p = f"{vm}.encoder.layers.{i}"
+        params[f"layer_{i}"] = {
+            "layer_norm1": _norm_affine(state, f"{p}.layer_norm1"),
+            "layer_norm2": _norm_affine(state, f"{p}.layer_norm2"),
+            "q_proj": _lin(state, f"{p}.self_attn.q_proj"),
+            "k_proj": _lin(state, f"{p}.self_attn.k_proj"),
+            "v_proj": _lin(state, f"{p}.self_attn.v_proj"),
+            "out_proj": _lin(state, f"{p}.self_attn.out_proj"),
+            "fc1": _lin(state, f"{p}.mlp.fc1"),
+            "fc2": _lin(state, f"{p}.mlp.fc2"),
+        }
+    return {"params": params}
+
+
+def convert_ip_adapter(
+    state: Dict[str, np.ndarray], num_layers: int, head_dim: int = 128
+) -> Dict[str, Any]:
+    """diffusers-format FLUX IP-Adapter state dict -> this framework.
+
+    Input layout (diffusers ``load_ip_adapter`` checkpoint):
+      image_proj.proj.{weight,bias}, image_proj.norm.{weight,bias},
+      ip_adapter.{i}.to_k_ip.{weight,bias}, ip_adapter.{i}.to_v_ip.{weight,bias}
+
+    ``to_k_ip`` gets the same per-head RoPE-deinterleave permutation as the
+    base q/k projections (:func:`_lin_rope`): the decoupled ip attention
+    reuses the model's (permuted-layout) image queries, and q·k logits are
+    only layout-invariant if k's head channels are permuted identically.
+    ``to_v_ip`` is untouched (values never meet RoPE).
+
+    Returns ``{"proj": <ImageProjection variables>, "blocks": {"to_k_ip":
+    ..., "to_v_ip": ...}}`` where the block trees are stacked [num_layers,
+    ...] for direct merge into the flux double-block scan params
+    (:func:`merge_ip_adapter_into_flux`).
+    """
+    proj = {
+        "params": {
+            "proj": _lin(state, "image_proj.proj"),
+            "norm": _norm_affine(state, "image_proj.norm"),
+        }
+    }
+    blocks = _stack(
+        [
+            {
+                "to_k_ip": _lin_rope(state, f"ip_adapter.{i}.to_k_ip", head_dim),
+                "to_v_ip": _lin(state, f"ip_adapter.{i}.to_v_ip"),
+            }
+            for i in range(num_layers)
+        ]
+    )
+    return {"proj": proj, "blocks": blocks}
+
+
+def merge_ip_adapter_into_flux(flux_variables: Dict, ip_blocks: Dict) -> Dict:
+    """Insert stacked to_k_ip/to_v_ip into a converted flux param tree.
+
+    Mirrors diffusers, which stores the adapter projections inside the
+    transformer after ``load_ip_adapter``. The returned tree loads into
+    ``FluxTransformer2D(cfg, ip_adapter=True)``.
+    """
+    import copy
+
+    out = copy.deepcopy(flux_variables)
+    block = out["params"]["double_blocks"]["block"]
+    block["to_k_ip"] = ip_blocks["to_k_ip"]
+    block["to_v_ip"] = ip_blocks["to_v_ip"]
+    return out
+
+
 def convert_t5(state: Dict[str, np.ndarray], cfg: T5Config) -> Dict:
     params: Dict[str, Any] = {
         "shared": {"embedding": state["shared.weight"]},

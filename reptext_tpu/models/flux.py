@@ -38,10 +38,15 @@ class _DoubleLayer(nn.Module):
     attention_backend: Optional[str]
     dtype: Dtype
     param_dtype: Dtype
+    ip_adapter: bool = False
 
     @nn.compact
     def __call__(self, carry, inject):
-        ctx, x, temb, cos, sin = carry
+        if self.ip_adapter:
+            ctx, x, temb, cos, sin, ip_tokens, ip_scale = carry
+        else:
+            ctx, x, temb, cos, sin = carry
+            ip_tokens = ip_scale = None
         ctx, x = JointTransformerBlock(
             dim=self.config.inner_dim,
             num_heads=self.config.num_attention_heads,
@@ -50,8 +55,9 @@ class _DoubleLayer(nn.Module):
             attention_backend=self.attention_backend,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            ip_adapter=self.ip_adapter,
             name="block",
-        )(x, ctx, temb, cos, sin)
+        )(x, ctx, temb, cos, sin, ip_tokens, ip_scale)
         # diffusers adds the ControlNet residual to the block's OUTPUT
         # (after-block injection: `hidden_states = hidden_states +
         # controlnet_block_samples[index_block // interval]` in
@@ -59,6 +65,8 @@ class _DoubleLayer(nn.Module):
         # RepText/pipeline_flux_controlnet.py:1092-1104)
         if inject is not None:
             x = x + inject.astype(x.dtype)
+        if self.ip_adapter:
+            return (ctx, x, temb, cos, sin, ip_tokens, ip_scale), None
         return (ctx, x, temb, cos, sin), None
 
 
@@ -122,6 +130,11 @@ class FluxTransformer2D(nn.Module):
     # the reference ControlNet's gradient checkpointing equivalent,
     # RepText/controlnet_flux.py:321-340)
     remat: bool = False
+    # IP-Adapter image-prompt support: every double block gains to_k_ip /
+    # to_v_ip projections (nn/blocks.py JointTransformerBlock.ip_adapter).
+    # Single blocks are untouched (diffusers FLUX IP-Adapter behavior;
+    # reference compatibility claim: RepText/README.md:183).
+    ip_adapter: bool = False
 
     @nn.compact
     def __call__(
@@ -135,6 +148,8 @@ class FluxTransformer2D(nn.Module):
         guidance: Optional[jax.Array] = None,          # [B]
         controlnet_block_samples: Optional[jax.Array] = None,         # [n, B, S_img, D]
         controlnet_single_block_samples: Optional[jax.Array] = None,  # [n, B, S_img, D]
+        ip_tokens: Optional[jax.Array] = None,   # [B, N_ip, cross_dim]
+        ip_scale: Optional[jax.Array] = None,    # scalar
     ) -> jax.Array:
         cfg = self.config
         dense = lambda feat, name: nn.Dense(  # noqa: E731
@@ -173,13 +188,23 @@ class FluxTransformer2D(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        (ctx, x, _, _, _), _ = DoubleScan(
+        if self.ip_adapter:
+            if ip_tokens is None:
+                raise ValueError("ip_adapter model requires ip_tokens")
+            scale = jnp.asarray(1.0 if ip_scale is None else ip_scale, jnp.float32)
+            double_carry = (ctx, x, temb, cos, sin,
+                            ip_tokens.astype(self.dtype), scale)
+        else:
+            double_carry = (ctx, x, temb, cos, sin)
+        double_carry, _ = DoubleScan(
             config=cfg,
             attention_backend=self.attention_backend,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            ip_adapter=self.ip_adapter,
             name="double_blocks",
-        )((ctx, x, temb, cos, sin), double_inject)
+        )(double_carry, double_inject)
+        ctx, x = double_carry[0], double_carry[1]
 
         joint = jnp.concatenate([ctx, x], axis=1)
         txt_len = encoder_hidden_states.shape[1]

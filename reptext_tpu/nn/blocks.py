@@ -58,6 +58,13 @@ class JointTransformerBlock(nn.Module):
     attention_backend: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # IP-Adapter (image prompt): when True the block carries to_k_ip/to_v_ip
+    # projections and the image stream additionally attends to the projected
+    # image-prompt tokens with its own (pre-RoPE) queries — the decoupled
+    # cross-attention of the published FLUX IP-Adapter the reference README
+    # advertises compatibility with (RepText/README.md:183; diffusers
+    # FluxIPAdapterJointAttnProcessor2_0 semantics).
+    ip_adapter: bool = False
 
     @nn.compact
     def __call__(
@@ -67,6 +74,8 @@ class JointTransformerBlock(nn.Module):
         temb: jax.Array,                    # [B, dim]
         rope_cos: jax.Array,                # [S_txt+S_img, head_dim]
         rope_sin: jax.Array,
+        ip_tokens: Optional[jax.Array] = None,   # [B, N_ip, cross_dim]
+        ip_scale: Optional[jax.Array] = None,    # scalar
     ) -> Tuple[jax.Array, jax.Array]:
         dense = lambda feat, name: nn.Dense(  # noqa: E731
             feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name
@@ -93,6 +102,23 @@ class JointTransformerBlock(nn.Module):
         rms = lambda name: RMSNorm(self.head_dim, param_dtype=self.param_dtype, name=name)  # noqa: E731
         q_i, k_i = rms("norm_q")(q_i), rms("norm_k")(k_i)
         q_t, k_t = rms("norm_added_q")(q_t), rms("norm_added_k")(k_t)
+
+        # Decoupled image-prompt attention: RoPE-free image-stream queries
+        # (post q-norm) over the N_ip projected tokens; no k-norm on the ip
+        # keys (diffusers to_k_ip/to_v_ip have none). Result is added to the
+        # image stream at the END of the block, ungated (diffusers
+        # FluxTransformerBlock adds ip_attn_output after the FF residual).
+        ip_attn = None
+        if self.ip_adapter:
+            if ip_tokens is None:
+                raise ValueError("ip_adapter block requires ip_tokens")
+            from reptext_tpu.ops.attention import xla_attention
+
+            k_ip = _split_heads(dense(inner, "to_k_ip")(ip_tokens), self.num_heads)
+            v_ip = _split_heads(dense(inner, "to_v_ip")(ip_tokens), self.num_heads)
+            ip_attn = _merge_heads(xla_attention(q_i, k_ip, v_ip))
+            scale = jnp.asarray(1.0 if ip_scale is None else ip_scale)
+            ip_attn = scale.astype(ip_attn.dtype) * ip_attn
 
         # Joint sequence: [text; image]. RoPE (half-split layout) is applied
         # inside attention — fused into the Pallas kernel on TPU.
@@ -129,6 +155,8 @@ class JointTransformerBlock(nn.Module):
             self.dim, self.mlp_ratio, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
         )(norm2.astype(hidden_states.dtype))
         hidden_states = hidden_states + gate_mlp[:, None, :] * ff_out
+        if ip_attn is not None:
+            hidden_states = hidden_states + ip_attn
 
         # Text stream
         encoder_hidden_states = (

@@ -187,12 +187,100 @@ class FluxRepTextPipeline:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        for name in ("vae", "clip", "t5"):
+        for name in ("vae", "clip", "t5", "ip_adapter"):
             if name in self.params:
                 self.params[name] = jax.device_put(
                     self.params[name], NamedSharding(mesh, P())
                 )
         return self
+
+    # ------------------------------------------------------------ ip-adapter
+
+    def attach_ip_adapter(
+        self,
+        vision_cfg=None,
+        ip_cfg=None,
+        params: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+    ) -> "FluxRepTextPipeline":
+        """Enable FLUX IP-Adapter image-prompting on this pipeline.
+
+        Rebuilds ``self.flux`` with per-double-block to_k_ip/to_v_ip
+        projections (nn/blocks.py) and installs the CLIP vision encoder +
+        ImageProjection (models/ip_adapter.py). ``params`` may carry any of
+        {"vision", "proj", "flux"} (from io/convert.py::{convert_clip_vision,
+        convert_ip_adapter, merge_ip_adapter_into_flux}); missing pieces are
+        random-init — with to_v_ip ZERO-init so an untrained adapter is an
+        exact no-op (mirrors ControlNet zero-init semantics).
+
+        Reference surface: RepText/README.md:183 (compatibility with the
+        published FLUX.1-dev IP-Adapter via diffusers ``load_ip_adapter``).
+        """
+        from reptext_tpu.configs import CLIPVisionConfig, IPAdapterConfig
+        from reptext_tpu.models.ip_adapter import IPAdapterEncoder
+
+        if vision_cfg is None:
+            vision_cfg = CLIPVisionConfig()
+        if ip_cfg is None:
+            ip_cfg = IPAdapterConfig(
+                image_embed_dim=vision_cfg.projection_dim,
+                cross_attention_dim=self.flux.config.joint_attention_dim,
+            )
+        params = params or {}
+
+        self.ip_encoder = IPAdapterEncoder(
+            vision_cfg, ip_cfg, self.compute_dtype, self.flux.param_dtype,
+        )
+        enc_params = self.ip_encoder.init(jax.random.PRNGKey(seed))
+        self.params["ip_adapter"] = {
+            "vision": params.get("vision", enc_params["vision"]),
+            "proj": params.get("proj", enc_params["proj"]),
+        }
+
+        flux_ip = FluxTransformer2D(
+            self.flux.config, attention_backend=self.flux.attention_backend,
+            dtype=self.flux.dtype, param_dtype=self.flux.param_dtype,
+            remat=self.flux.remat, ip_adapter=True,
+        )
+        if "flux" in params:
+            self.params["flux"] = params["flux"]
+        else:
+            # graft random to_k_ip + ZERO to_v_ip onto the existing weights
+            cfg = self.flux.config
+            s_probe = 8
+            probe_tokens = jnp.zeros((1, ip_cfg.num_tokens,
+                                      ip_cfg.cross_attention_dim))
+            ip_vars = flux_ip.init(
+                jax.random.PRNGKey(seed + 1),
+                jnp.zeros((1, 4, cfg.in_channels)),
+                jnp.zeros((1, s_probe, cfg.joint_attention_dim)),
+                jnp.zeros((1, cfg.pooled_projection_dim)),
+                jnp.zeros((1,)),
+                jnp.zeros((4, 3)), jnp.zeros((s_probe, 3)),
+                jnp.ones((1,)) if cfg.guidance_embeds else None,
+                ip_tokens=probe_tokens,
+            )
+            import copy
+
+            merged = copy.deepcopy(self.params["flux"])
+            blk = ip_vars["params"]["double_blocks"]["block"]
+            merged["params"]["double_blocks"]["block"]["to_k_ip"] = blk["to_k_ip"]
+            merged["params"]["double_blocks"]["block"]["to_v_ip"] = (
+                jax.tree_util.tree_map(jnp.zeros_like, blk["to_v_ip"])
+            )
+            self.params["flux"] = merged
+        self.flux = flux_ip
+        # sampler caches were built against the non-IP flux module
+        for attr in ("_samplers", "_raw_samplers", "_chunk_samplers"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
+
+    def encode_ip_image(self, image: np.ndarray) -> jax.Array:
+        """uint8 image -> IP tokens [B, N, cross_dim] via the attached adapter."""
+        if getattr(self, "ip_encoder", None) is None:
+            raise ValueError("call attach_ip_adapter() first")
+        return self.ip_encoder(self.params["ip_adapter"], image)
 
     # ------------------------------------------------------------- encoders
 
@@ -300,6 +388,8 @@ class FluxRepTextPipeline:
         callback=None,
         callback_steps: int = 1,
         output_type: str = "np",
+        ip_adapter_image: Optional[np.ndarray] = None,
+        ip_adapter_scale: float = 1.0,
     ) -> np.ndarray:
         """Generate images. Either embeddings or token ids must be provided.
 
@@ -357,20 +447,42 @@ class FluxRepTextPipeline:
             cond_tokens, token_masks, prompt_embeds, pooled_embeds,
             txt_ids, img_ids, guidance,
         )
+        flux_extra = None
+        if ip_adapter_image is not None:
+            if self.flux.ip_adapter is False:
+                raise ValueError(
+                    "ip_adapter_image given but no adapter attached "
+                    "(call attach_ip_adapter() first)"
+                )
+            flux_extra = {
+                "ip_tokens": self.encode_ip_image(ip_adapter_image),
+                "ip_scale": jnp.asarray(ip_adapter_scale, jnp.float32),
+            }
+        elif self.flux.ip_adapter:
+            # adapter attached but no image this call: neutral zero tokens
+            # with scale 0 keep one compiled graph signature
+            ipc = self.ip_encoder.ip_cfg
+            flux_extra = {
+                "ip_tokens": jnp.zeros(
+                    (1, ipc.num_tokens, ipc.cross_attention_dim)),
+                "ip_scale": jnp.asarray(0.0, jnp.float32),
+            }
+
         remaining = steps - t_start
         if callback is None:
             if t_start == 0:
-                latents = sampler(*margs, latents, *sargs)
+                latents = sampler(*margs, latents, *sargs,
+                                  flux_extra=flux_extra)
             else:
                 latents = self._get_chunk_sampler(steps, remaining)(
-                    *margs, latents, *sargs, t_start
+                    *margs, latents, *sargs, t_start, flux_extra=flux_extra
                 )
         else:
             i = t_start
             while i < steps:
                 k = min(callback_steps, steps - i)
                 latents = self._get_chunk_sampler(steps, k)(
-                    *margs, latents, *sargs, i
+                    *margs, latents, *sargs, i, flux_extra=flux_extra
                 )
                 i += k
                 if callback(i, latents) is False:
@@ -435,10 +547,18 @@ class FluxRepTextPipeline:
             jnp.full((b,), gscale, jnp.float32)
             if self.flux.config.guidance_embeds else None
         )
+        flux_extra = None
+        if self.flux.ip_adapter:  # neutral image prompt (scale 0) for batches
+            ipc = self.ip_encoder.ip_cfg
+            flux_extra = {
+                "ip_tokens": jnp.zeros(
+                    (1, ipc.num_tokens, ipc.cross_attention_dim)),
+                "ip_scale": jnp.asarray(0.0, jnp.float32),
+            }
         latents = sampler(
             self.params["flux"], self.params["controlnet"], latents,
             cond_tokens, token_masks, prompt_embeds, pooled_embeds,
-            txt_ids, img_ids, guidance,
+            txt_ids, img_ids, guidance, flux_extra=flux_extra,
         )
         if output_type == "latent":
             return latents
@@ -500,11 +620,16 @@ class FluxRepTextPipeline:
             )
             self._schedules[steps] = schedule
 
-            def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
+            def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr, extra=None):
+                kw = {}
+                if extra is not None:  # IP-Adapter image-prompt tokens
+                    kw = {"ip_tokens": extra["ip_tokens"],
+                          "ip_scale": extra["ip_scale"]}
                 return self.flux.apply(
                     p, x, ctx, pooled, t, iid, tid, g,
                     controlnet_block_samples=br,
                     controlnet_single_block_samples=sr,
+                    **kw,
                 )
 
             def cn_apply(p, x, cond, ctx, pooled, t, iid, tid, g, scale):
@@ -529,6 +654,8 @@ class FluxRepTextPipeline:
             self._get_sampler(steps)
             chunked = self._raw_samplers[steps].chunked
             self._chunk_samplers[key] = jax.jit(
-                lambda *args: chunked(*args, chunk_len)
+                lambda *args, flux_extra=None: chunked(
+                    *args, chunk_len, flux_extra=flux_extra
+                )
             )
         return self._chunk_samplers[key]

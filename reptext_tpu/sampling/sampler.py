@@ -70,6 +70,8 @@ def make_txt2img_sampler(
         guidance: Optional[jax.Array],  # [B] or None
         start_step=0,              # traced: chunk offset into the schedule
         chunk_steps: int = None,   # static: steps in this scan
+        flux_extra=None,           # optional pytree forwarded to flux_apply
+                                   # (e.g. IP-Adapter {"ip_tokens","ip_scale"})
     ) -> jax.Array:
         b = latents.shape[0]
         n_lines = cond_tokens.shape[0]
@@ -138,18 +140,15 @@ def make_txt2img_sampler(
                 block_res, single_res = jax.lax.cond(
                     i < gate_step, with_cn, without_cn, operand=None
                 )
-                return flux_apply(
-                    flux_params,
-                    x_model,
-                    ctx,
-                    pooled,
-                    t_b,
-                    img_ids,
-                    txt_ids,
-                    guidance,
-                    block_res,
-                    single_res,
-                ).astype(jnp.float32)
+                args = (
+                    flux_params, x_model, ctx, pooled, t_b,
+                    img_ids, txt_ids, guidance, block_res, single_res,
+                )
+                # keep the 10-arg call for plain flux_apply fns; only
+                # extra-aware fns (pipeline IP-Adapter path) see the pytree
+                out = (flux_apply(*args) if flux_extra is None
+                       else flux_apply(*args, flux_extra))
+                return out.astype(jnp.float32)
 
             sig_i = sigmas[i]
             if vc_interval == 1:
@@ -218,18 +217,18 @@ def make_txt2img_sampler(
     def sample(
         flux_params, cn_params, latents, cond_tokens, token_masks,
         prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
-        start_step=0,
+        start_step=0, flux_extra=None,
     ):
         return _scan_chunk(
             flux_params, cn_params, latents, cond_tokens, token_masks,
             prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
-            start_step, num_steps,
+            start_step, num_steps, flux_extra,
         )
 
     def sample_chunk(
         flux_params, cn_params, latents, cond_tokens, token_masks,
         prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
-        start_step, chunk_len,
+        start_step, chunk_len, flux_extra=None,
     ):
         """Run ``chunk_len`` (static) steps from traced ``start_step`` —
         enables host callbacks / cooperative interruption between chunks
@@ -239,7 +238,7 @@ def make_txt2img_sampler(
         return _scan_chunk(
             flux_params, cn_params, latents, cond_tokens, token_masks,
             prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
-            start_step, chunk_len,
+            start_step, chunk_len, flux_extra,
         )
 
     sample.chunked = sample_chunk
