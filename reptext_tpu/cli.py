@@ -118,6 +118,14 @@ def main(argv=None) -> int:
                         help="tiny model geometry (demo on small hosts)")
     parser.add_argument("--no-shape", action="store_true",
                         help="disable Arabic shaping (reference raw behavior)")
+    parser.add_argument("--ip-adapter-image", default=None, metavar="PATH",
+                        help="image-prompt (FLUX IP-Adapter) reference image")
+    parser.add_argument("--ip-adapter-scale", type=float, default=1.0)
+    parser.add_argument("--ip-adapter-dir", default=None, metavar="DIR",
+                        help="orbax dir of converted IP-Adapter params "
+                             "(io/convert.py::{convert_clip_vision, "
+                             "convert_ip_adapter}); without it the adapter "
+                             "is zero-init (an exact no-op)")
     args = parser.parse_args(argv)
 
     serve = args.mode in ("serve", "train")
@@ -220,6 +228,19 @@ def main(argv=None) -> int:
     if serve:
         from reptext_tpu.serving import GenerationServer
 
+        if args.mode == "serve" and args.ip_adapter_dir is not None:
+            # image-prompt requests (ip_image_png_base64) need the adapter
+            # resident before the worker compiles its sampler graphs
+            from reptext_tpu.configs import CLIPVisionConfig
+            from reptext_tpu.io.checkpoint import load_pipeline_params as _lpp
+
+            pipeline.attach_ip_adapter(
+                vision_cfg=(CLIPVisionConfig().tiny() if args.tiny
+                            else CLIPVisionConfig()),
+                params=_lpp(args.ip_adapter_dir,
+                            components=("vision", "proj", "flux")),
+            )
+
         def tokenizer(prompt):
             return _tokenize(prompt, clip_cfg, t5_cfg, args.checkpoint_dir)
 
@@ -281,8 +302,32 @@ def main(argv=None) -> int:
             seed=args.seed,
         )
     else:
+        gen_kwargs = {}
+        if args.ip_adapter_image:
+            from PIL import Image as PILImage
+
+            from reptext_tpu.configs import CLIPVisionConfig
+
+            ip_params = None
+            if args.ip_adapter_dir:
+                from reptext_tpu.io.checkpoint import load_pipeline_params
+
+                ip_params = load_pipeline_params(
+                    args.ip_adapter_dir, components=("vision", "proj", "flux"))
+            pipeline.attach_ip_adapter(
+                vision_cfg=(CLIPVisionConfig().tiny() if args.tiny
+                            else CLIPVisionConfig()),
+                params=ip_params,
+            )
+            gen_kwargs = {
+                "ip_adapter_image": np.asarray(
+                    PILImage.open(args.ip_adapter_image).convert("RGB"),
+                    np.uint8),
+                "ip_adapter_scale": args.ip_adapter_scale,
+            }
         images = pipeline(
             conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=args.seed,
+            **gen_kwargs,
         )
 
     from PIL import Image

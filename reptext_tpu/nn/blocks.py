@@ -118,6 +118,8 @@ class JointTransformerBlock(nn.Module):
             v_ip = _split_heads(dense(inner, "to_v_ip")(ip_tokens), self.num_heads)
             ip_attn = _merge_heads(xla_attention(q_i, k_ip, v_ip))
             scale = jnp.asarray(1.0 if ip_scale is None else ip_scale)
+            if scale.ndim == 1:        # per-request scale in a served batch
+                scale = scale[:, None, None]
             ip_attn = scale.astype(ip_attn.dtype) * ip_attn
 
         # Joint sequence: [text; image]. RoPE (half-split layout) is applied

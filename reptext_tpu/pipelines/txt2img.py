@@ -504,6 +504,8 @@ class FluxRepTextPipeline:
         guidance_scale: Optional[float] = None,
         num_inference_steps: Optional[int] = None,
         output_type: str = "np",
+        ip_adapter_images=None,   # per-request images (None entries allowed)
+        ip_adapter_scales=None,   # per-request floats
     ) -> np.ndarray:
         """Generate one image per request in a single fused sampler call.
 
@@ -548,13 +550,30 @@ class FluxRepTextPipeline:
             if self.flux.config.guidance_embeds else None
         )
         flux_extra = None
-        if self.flux.ip_adapter:  # neutral image prompt (scale 0) for batches
+        if self.flux.ip_adapter:
+            # per-request image prompts ride the batch axis: [B, N, D] tokens
+            # + [B] scales (scale 0 / zero tokens for requests without one)
             ipc = self.ip_encoder.ip_cfg
+            tok_l, scale_l = [], []
+            for i in range(b):
+                img = (ip_adapter_images[i]
+                       if ip_adapter_images is not None else None)
+                if img is None:
+                    tok_l.append(jnp.zeros(
+                        (1, ipc.num_tokens, ipc.cross_attention_dim)))
+                    scale_l.append(0.0)
+                else:
+                    tok_l.append(self.encode_ip_image(img))
+                    scale_l.append(
+                        1.0 if ip_adapter_scales is None
+                        else float(ip_adapter_scales[i]))
             flux_extra = {
-                "ip_tokens": jnp.zeros(
-                    (1, ipc.num_tokens, ipc.cross_attention_dim)),
-                "ip_scale": jnp.asarray(0.0, jnp.float32),
+                "ip_tokens": jnp.concatenate(tok_l, axis=0),
+                "ip_scale": jnp.asarray(scale_l, jnp.float32),
             }
+        elif ip_adapter_images is not None and any(
+                im is not None for im in ip_adapter_images):
+            raise ValueError("ip_adapter_images given but no adapter attached")
         latents = sampler(
             self.params["flux"], self.params["controlnet"], latents,
             cond_tokens, token_masks, prompt_embeds, pooled_embeds,

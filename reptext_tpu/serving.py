@@ -50,6 +50,8 @@ class GenerationRequest:
     image_b64: Optional[str] = None        # inpaint: base64 PNG input image
     mask_b64: Optional[str] = None         # inpaint: base64 PNG white-on-black mask
     negative_prompt: Optional[str] = None  # inpaint true-CFG negative
+    ip_image_b64: Optional[str] = None     # image-prompt (IP-Adapter) PNG
+    ip_scale: float = 1.0
     _done: threading.Event = field(default_factory=threading.Event)
     _result: Optional[np.ndarray] = None
     _error: Optional[str] = None
@@ -246,13 +248,35 @@ class GenerationWorker:
         seeds = [r.seed for r in batch] + [batch[-1].seed] * pad
 
         lead = batch[0]
+        ip_kwargs = {}
+        if any(r.ip_image_b64 for r in batch):
+            # per-request image prompts coalesce with non-ip requests in the
+            # same graph: absent prompts ride as zero tokens at scale 0
+            ip_images = [self._decode_ip_image(r) for r in batch]
+            ip_scales = [r.ip_scale for r in batch]
+            if pad:
+                ip_images += [None] * pad
+                ip_scales += [0.0] * pad
+            ip_kwargs = {"ip_adapter_images": ip_images,
+                         "ip_adapter_scales": ip_scales}
         images = pipe.generate_batch(
             conds_list, clip_ids=clip_ids, t5_ids=t5_ids, seeds=seeds,
             num_inference_steps=lead.num_steps,
             guidance_scale=lead.guidance_scale,
+            **ip_kwargs,
         )
         for i, req in enumerate(batch):
             req._result = np.asarray(images[i])
+
+    @staticmethod
+    def _decode_ip_image(req: GenerationRequest):
+        """base64 PNG -> uint8 RGB array (None if the request has none)."""
+        if not req.ip_image_b64:
+            return None
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(req.ip_image_b64)))
+        return np.asarray(img.convert("RGB"), np.uint8)
 
     def _run_inpaint(self, req: GenerationRequest) -> None:
         """Text inpainting (reference infer_inpaint.py driver, served)."""
@@ -341,10 +365,14 @@ class GenerationWorker:
                 ]
                 conds = build_conditions(lines, cfg.width, cfg.height)
                 clip_ids, t5_ids = self._tokenize(req.prompt)
+                ip_img = self._decode_ip_image(req)
                 images = pipe(
                     conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=req.seed,
                     num_inference_steps=req.num_steps,
                     guidance_scale=req.guidance_scale,
+                    **({"ip_adapter_image": ip_img,
+                        "ip_adapter_scale": req.ip_scale}
+                       if ip_img is not None else {}),
                 )
                 req._result = images[0]
             else:
@@ -441,6 +469,8 @@ def _make_handler(worker: GenerationWorker, timeout_s: float):
                     image_b64=payload.get("image_png_base64"),
                     mask_b64=payload.get("mask_png_base64"),
                     negative_prompt=payload.get("negative_prompt"),
+                    ip_image_b64=payload.get("ip_image_png_base64"),
+                    ip_scale=float(payload.get("ip_scale", 1.0)),
                 )
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})

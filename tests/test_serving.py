@@ -288,3 +288,60 @@ def test_inpaint_without_pipeline_errors(server):
     worker.submit(req)
     worker._process_once()
     assert req._error and "inpaint pipeline" in req._error
+
+
+def test_ip_adapter_batch_coalesces_with_plain(server):
+    """An image-prompt request coalesces with a plain one in one batched
+    call (per-request ip tokens + [B] scales), and the zero-init adapter is
+    an exact no-op: results match the same seeds served without any adapter."""
+    import dataclasses
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from reptext_tpu.configs import CLIPVisionConfig, IPAdapterConfig
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+    from reptext_tpu.utils.metrics import Metrics
+
+    # baseline: plain pipeline, no adapter
+    base_worker = GenerationWorker(server.worker.pipeline, max_batch=4,
+                                   metrics=Metrics())
+    lines1 = [{"text": "Hi", "position": [8, 16]}]
+    lines2 = [{"text": "Yo", "position": [4, 8]}]
+    b1 = GenerationRequest(prompt="sign A", lines=lines1, seed=3)
+    b2 = GenerationRequest(prompt="sign B", lines=lines2, seed=9)
+    base_worker.submit(b1)
+    base_worker.submit(b2)
+    assert base_worker._process_once() == 2
+
+    # ip-enabled pipeline (fresh instance; zero-init to_v_ip)
+    pipe = FluxRepTextPipeline.create(
+        flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=H, width=W, num_inference_steps=2,
+                                controlnet_conditioning_step=1),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+    )
+    pipe.attach_ip_adapter(
+        vision_cfg=CLIPVisionConfig().tiny(),
+        ip_cfg=dataclasses.replace(
+            IPAdapterConfig().tiny(),
+            cross_attention_dim=pipe.flux.config.joint_attention_dim),
+    )
+    worker = GenerationWorker(pipe, max_batch=4, metrics=Metrics())
+    style = np.random.default_rng(0).integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(style).save(buf, format="PNG")
+    ip_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    r1 = GenerationRequest(prompt="sign A", lines=lines1, seed=3,
+                           ip_image_b64=ip_b64, ip_scale=0.8)
+    r2 = GenerationRequest(prompt="sign B", lines=lines2, seed=9)
+    worker.submit(r1)
+    worker.submit(r2)
+    assert worker._process_once() == 2       # one coalesced batch
+    assert worker.batches == 1
+    assert r1._error is None and r2._error is None, (r1._error, r2._error)
+    np.testing.assert_array_equal(r1._result, b1._result)
+    np.testing.assert_array_equal(r2._result, b2._result)
