@@ -34,8 +34,9 @@ def evaluate(params) -> dict:
                for w in words]
     augmented = [ocr._augment(img, rng) for img in perfect]
     noise = [rng.random((40, 100)).astype(np.float32) for _ in words]
-    # fixed demo words (the data.py pools / reference demo strings)
-    demo = ["مرحبا", "سلام", "OPEN", "CAFE", "2026", "مطعم"]
+    # fixed demo words (the data.py pools / reference demo strings),
+    # including mixed-case Latin (labels case-fold; lowercase shapes must score)
+    demo = ["مرحبا", "سلام", "OPEN", "CAFE", "2026", "مطعم", "Hello", "Cafe"]
     demo_imgs = [ocr.render_word(w, font_size=40) for w in demo]
     return {
         "char_accuracy_perfect": round(ocr.char_accuracy(perfect, words, params), 4),

@@ -218,7 +218,15 @@ def random_word(rng: np.random.Generator) -> str:
         pool = DIGITS
     else:
         pool = LATIN + DIGITS
-    return "".join(rng.choice(list(pool)) for _ in range(n))
+    word = "".join(rng.choice(list(pool)) for _ in range(n))
+    # labels are case-folded (char_accuracy/make_batch .upper()); render
+    # mixed-case so lowercase glyph SHAPES are in-distribution ("Cafe",
+    # "Hello" must score, not just "CAFE")
+    if script in ("lat", "mix") and rng.random() < 0.5:
+        word = "".join(
+            c.lower() if rng.random() < 0.6 else c for c in word
+        )
+    return word
 
 
 class RenderCache:
@@ -270,7 +278,9 @@ def make_batch(
             img = _resize_box(_canonicalize(
                 render_word(text, font_size=size, font_path=font_path)))
         images[b] = _standardize(_augment(img, rng))[:, :, None]
-        ids = [CHAR_TO_ID[c] for c in text if c in CHAR_TO_ID][:MAX_LABEL]
+        # case-folded labels: the head has one class per UPPERCASE Latin
+        # letter; lowercase renders map to it (char_accuracy folds the same)
+        ids = [CHAR_TO_ID[c] for c in text.upper() if c in CHAR_TO_ID][:MAX_LABEL]
         labels[b, : len(ids)] = ids
         paddings[b, : len(ids)] = 0.0
         texts.append(text)
@@ -378,7 +388,7 @@ def char_accuracy(
     n = len(regions)
     accs = []
     for i, want in enumerate(texts):
-        want_ids = "".join(c for c in want if c in CHAR_TO_ID)
+        want_ids = "".join(c for c in want.upper() if c in CHAR_TO_ID)
         best = 0.0
         for got in (decoded[i], decoded[n + i]):
             d = _edit_distance(got, want_ids)

@@ -364,3 +364,104 @@ def test_pipeline_ip_adapter_smoke():
     # zero-init to_v_ip: image prompt at ANY scale is a no-op vs no image
     img_without = pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=3)
     np.testing.assert_array_equal(img_with, img_without)
+
+
+# ------------------------------------------------ WHOLE-model ip torch parity
+
+
+def test_whole_model_ip_torch_parity():
+    """Complete converted IP-Adapter graph vs torch: TFluxModel with every
+    double block wrapped in the decoupled-ip attention + ImageProjection,
+    state-dict named exactly like the diffusers checkpoint
+    (transformer_blocks.* / ip_adapter.{i}.* / image_proj.*), through
+    convert_flux_transformer + convert_ip_adapter + merge_ip_adapter_into_flux.
+    Pins the scan-carry ip plumbing, the ungated post-FF add, and the scale
+    broadcast at full-graph level (block-level parity alone would miss a
+    mis-wired carry or a residual applied to the wrong stream)."""
+    from test_torch_parity_blocks import _randomize
+    from test_torch_parity_model import (
+        FLUX_CFG, TFluxModel, _inputs, _make_ids, _state_np,
+    )
+
+    ip_cfg = dataclasses.replace(
+        IPAdapterConfig().tiny(), image_embed_dim=12, num_tokens=3,
+        cross_attention_dim=16)
+    cfg = FLUX_CFG
+    torch.manual_seed(20)
+    tm = _randomize(TFluxModel(cfg), seed=21)
+    heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
+    ip_wraps = [
+        TIPDoubleBlock(blk, cfg.inner_dim, heads, head_dim,
+                       ip_cfg.cross_attention_dim).eval()
+        for blk in tm.transformer_blocks
+    ]
+    for w in ip_wraps:
+        torch.nn.init.normal_(w.to_k_ip.weight, std=0.3)
+        torch.nn.init.normal_(w.to_k_ip.bias, std=0.1)
+        torch.nn.init.normal_(w.to_v_ip.weight, std=0.3)
+        torch.nn.init.normal_(w.to_v_ip.bias, std=0.1)
+    tproj = TImageProjection(
+        ip_cfg.image_embed_dim, ip_cfg.cross_attention_dim, ip_cfg.num_tokens
+    ).eval()
+
+    # diffusers-checkpoint naming for the converters
+    state = _state_np(tm)
+    for i, w in enumerate(ip_wraps):
+        for nm in ("to_k_ip", "to_v_ip"):
+            lin = getattr(w, nm)
+            state[f"ip_adapter.{i}.{nm}.weight"] = _np(lin.weight)
+            state[f"ip_adapter.{i}.{nm}.bias"] = _np(lin.bias)
+    for k, v in tproj.state_dict().items():
+        state[f"image_proj.{k}"] = _np(v)
+
+    flux_vars = convert_flux_transformer(state, cfg)
+    converted = convert_ip_adapter(
+        state, num_layers=cfg.num_layers, head_dim=head_dim)
+    merged = jax.tree_util.tree_map(
+        jnp.asarray, merge_ip_adapter_into_flux(flux_vars, converted["blocks"]))
+    proj_vars = jax.tree_util.tree_map(jnp.asarray, converted["proj"])
+
+    inp = _inputs(seed=30)
+    txt_ids, img_ids = _make_ids()
+    rng = np.random.default_rng(31)
+    image_embeds = rng.standard_normal(
+        (inp["hidden"].shape[0], ip_cfg.image_embed_dim)).astype(np.float32)
+    scale = 0.6
+
+    # torch forward: TFluxModel.forward with ip-wrapped double blocks
+    from test_torch_parity_model import t_rope_from_ids
+
+    with torch.no_grad():
+        tokens = tproj(torch.from_numpy(image_embeds))
+        x = tm.x_embedder(torch.from_numpy(inp["hidden"]))
+        temb = tm.time_text_embed(
+            torch.from_numpy(inp["t"]), torch.from_numpy(inp["pooled"]),
+            torch.from_numpy(inp["guidance"]))
+        ctx = tm.context_embedder(torch.from_numpy(inp["ctx"]))
+        ids = np.concatenate([txt_ids, img_ids], axis=0)
+        cos, sin = t_rope_from_ids(ids, cfg.axes_dims_rope)
+        for w in ip_wraps:
+            ctx, x = w(x, ctx, temb, cos, sin, tokens, scale)
+        h = torch.cat([ctx, x], dim=1)
+        s_txt = inp["ctx"].shape[1]
+        for blk in tm.single_transformer_blocks:
+            h = blk(h, temb, cos, sin)
+        x = h[:, s_txt:]
+        t_out = _np(tm.proj_out(tm.norm_out(x, temb)))
+
+    model = FluxTransformer2D(cfg, ip_adapter=True)
+    ip_tokens = ImageProjection(ip_cfg).apply(
+        proj_vars, jnp.asarray(image_embeds))
+    np.testing.assert_allclose(
+        np.asarray(ip_tokens), _np(tokens), rtol=5e-4, atol=5e-4)
+    j_out = model.apply(
+        merged,
+        hidden_states=jnp.asarray(inp["hidden"]),
+        encoder_hidden_states=jnp.asarray(inp["ctx"]),
+        pooled_projections=jnp.asarray(inp["pooled"]),
+        timestep=jnp.asarray(inp["t"]),
+        img_ids=jnp.asarray(img_ids), txt_ids=jnp.asarray(txt_ids),
+        guidance=jnp.asarray(inp["guidance"]),
+        ip_tokens=ip_tokens, ip_scale=jnp.asarray(scale),
+    )
+    np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=5e-4, atol=5e-4)
