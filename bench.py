@@ -12,9 +12,14 @@ Method:
   masking + Euler update, one XLA program) is timed at full width (3072 /
   24 heads / bf16) but reduced transformer depth, because full FLUX.1-dev is
   12B params = 24GB bf16 — a multi-chip model on 16GB v5e chips (parallel/).
-- Depth->time is measured at THREE depth points and fitted linearly
+- Depth->time is measured at FOUR bf16 depth points and fitted linearly
   (homogeneous blocks => exact); the middle-point residual of the fit is
   reported so the extrapolation's linearity is checked, not assumed.
+- The TRUE full-depth (19,38) step is ALSO measured directly using fp8
+  weight-only storage (io/quantize.py: ~12GB resident, bf16 MXU math,
+  per-layer in-scan dequant); the fp8-vs-bf16 overhead measured at (8,16)
+  converts it to an implied bf16 step, cross-checking the fit's endpoint
+  by execution (`full_depth_fit_validation_err`).
 - The actual production `lax.scan` sampler (sampling/sampler.py: gating,
   line-batched ControlNet, regional masking, Euler) is ALSO timed end-to-end
   at reduced depth; its per-step overhead factor vs the bare step fn is
@@ -69,15 +74,17 @@ def _depth_units(double: int, single: int) -> float:
 
 
 def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B,
-               cn_extra: int = 64):
+               cn_extra: int = 64, weight_quant: bool = False):
     from reptext_tpu.configs import ControlNetConfig, FluxConfig
+    from reptext_tpu.io.quantize import random_params_like
     from reptext_tpu.models import FluxTransformer2D, RepTextControlNet
     from reptext_tpu.ops.latents import prepare_latent_image_ids
 
     flux_cfg = dataclasses.replace(
         FluxConfig(), num_layers=num_double, num_single_layers=num_single
     )
-    model = FluxTransformer2D(flux_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = FluxTransformer2D(flux_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                              weight_quant=weight_quant)
 
     rng = jax.random.PRNGKey(0)
     hidden = jax.random.normal(rng, (batch, S_IMG, 64), jnp.bfloat16)
@@ -87,7 +94,20 @@ def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B,
     img_ids = prepare_latent_image_ids(LAT, LAT)
     txt_ids = jnp.zeros((S_TXT, 3))
     guidance = jnp.full((batch,), 3.5, jnp.bfloat16)
-    params = jax.jit(model.init)(rng, hidden, ctx, pooled, t, img_ids, txt_ids, guidance)
+    if weight_quant:
+        # fp8 weight-only storage (io/quantize.py): params are synthesized
+        # host-side in storage format from init SHAPES — full FLUX.1-dev
+        # (24GB bf16) cannot init on-device, but its 12GB fp8 form runs.
+        init_model = FluxTransformer2D(
+            flux_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16
+        )
+        shapes = jax.eval_shape(
+            init_model.init, rng, hidden, ctx, pooled, t, img_ids, txt_ids,
+            guidance)
+        params = jax.device_put({"params": random_params_like(shapes["params"])})
+    else:
+        params = jax.jit(model.init)(
+            rng, hidden, ctx, pooled, t, img_ids, txt_ids, guidance)
 
     # params MUST be threaded as arguments all the way into the timing jit:
     # closure capture bakes them into the program as constants (gigabytes
@@ -101,13 +121,24 @@ def build_step(num_double: int, num_single: int, with_cn: bool, batch: int = B,
         ControlNetConfig(), num_layers=CN_DOUBLE, num_single_layers=CN_SINGLE,
         extra_condition_channels=cn_extra,
     )
-    cn = RepTextControlNet(cn_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    cn = RepTextControlNet(cn_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                           weight_quant=weight_quant)
     cond = jax.random.normal(
         rng, (batch, S_IMG, 64 + cn_extra), jnp.bfloat16
     )
-    cn_params = jax.jit(cn.init)(
-        rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids, guidance
-    )
+    if weight_quant:
+        init_cn = RepTextControlNet(
+            cn_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16
+        )
+        cn_shapes = jax.eval_shape(
+            init_cn.init, rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids,
+            guidance)
+        cn_params = jax.device_put(
+            {"params": random_params_like(cn_shapes["params"], seed=1)})
+    else:
+        cn_params = jax.jit(cn.init)(
+            rng, hidden, cond, ctx, pooled, t, img_ids, txt_ids, guidance
+        )
 
     def fn(p, h):
         block, single = cn.apply(
@@ -412,6 +443,39 @@ def main(verbose: bool = False):
     a2, b2 = _lstsq_line([units[0], units[-1]], [depth_ts[0], depth_ts[-1]])
     lin_residual = abs(depth_ts[1] - (a2 + b2 * units[1])) / depth_ts[1]
 
+    # ---- fp8 weight-only storage: the TRUE full-depth model, MEASURED.
+    # 19+38 at full width with fp8-e4m3 per-channel weight storage
+    # (io/quantize.py) is ~12GB resident and fits the 16GB chip; MXU math
+    # stays bf16 (each scan slice dequantized in-loop). The (8,16) fp8
+    # point isolates the dequant overhead against the bf16 measurement
+    # above, so the measured full-depth step also validates the depth
+    # fit's 19+38 endpoint (previous rounds could only extrapolate).
+    t_fp8_816 = measure("fp8w base (8,16)",
+                        lambda: build_step(8, 16, False, weight_quant=True))
+    fp8_overhead = t_fp8_816 / depth_ts[DEPTHS.index((8, 16))]
+    t_fp8_full = measure(
+        "fp8w base FULL (19,38)",
+        lambda: build_step(FULL_DOUBLE, FULL_SINGLE, False, weight_quant=True))
+    full_units_early = _depth_units(FULL_DOUBLE, FULL_SINGLE)
+    implied_bf16_full = t_fp8_full / fp8_overhead
+    full_fit_validation_err = abs(
+        implied_bf16_full - (overhead + per_unit * full_units_early)
+    ) / implied_bf16_full
+    # opportunistic: full base + full-depth RepText CN, both fp8 (~15GB).
+    # chain=False: the chained fori_loop over the 57-layer two-model program
+    # reproducibly crashes the remote AOT compile helper; the unchained
+    # timing (distinct pre-staged inputs per dispatch) is slightly
+    # conservative (includes dispatch overhead) but compiles and runs.
+    t_fp8_full_cn = None
+    try:
+        t_fp8_full_cn = measure(
+            "fp8w FULL base+CN (19,38 + 4,10)",
+            lambda: build_step(FULL_DOUBLE, FULL_SINGLE, True,
+                               weight_quant=True),
+            iters=3, chain=False)
+    except Exception as e:  # noqa: BLE001 — expected: RESOURCE_EXHAUSTED
+        log(f"fp8 full base+CN skipped: {type(e).__name__}: {e}")
+
     # ---- batch scaling probe: compute-bound => t(b=2) ~= 2x t(b=1); the
     # ratio is evidence for the roofline analysis (BASELINE.md), not a lever.
     t_b2 = measure("base depth A batch=2",
@@ -534,6 +598,30 @@ def main(verbose: bool = False):
         "depth_fit_error_at_deepest": round(deepest_pred_err, 4),
         "deepest_measured": f"{depths[-1][0]}+{depths[-1][1]}",
         "stretch_depth_step_ms": stretch_ms,
+        # fp8 weight-only storage (io/quantize.py): the full 19+38 model
+        # MEASURED on this chip (12GB resident), not extrapolated. The
+        # dequant-overhead factor (fp8 vs bf16 at (8,16)) converts the
+        # measured fp8 step into an implied bf16 step, checked against the
+        # depth fit's endpoint.
+        "fp8w_step_ms_8+16": round(t_fp8_816 * 1e3, 2),
+        "fp8w_dequant_overhead_factor": round(fp8_overhead, 4),
+        "measured_full_depth_step_ms_fp8w": round(t_fp8_full * 1e3, 2),
+        "measured_full_depth_step_cn_ms_fp8w": (
+            None if t_fp8_full_cn is None else round(t_fp8_full_cn * 1e3, 2)),
+        "implied_bf16_full_depth_step_ms": round(implied_bf16_full * 1e3, 2),
+        "full_depth_fit_validation_err": round(full_fit_validation_err, 4),
+        # single-chip fp8-weight deployment throughput: fully measured step
+        # (full base + full CN in one program) when that compiles, else
+        # composed from the measured full-depth fp8 base step + the
+        # measured CN marginal (labeled accordingly)
+        "images_per_min_fp8w_measured": (
+            None if t_fp8_full_cn is None else round(
+                60.0 / (STEPS * t_fp8_full_cn * sampler_factor
+                        + t_vae_dec + 2 * t_vae_enc + t_text), 4)),
+        "images_per_min_fp8w_composed": round(
+            60.0 / (STEPS * (t_fp8_full + cn_cost * fp8_overhead)
+                    * sampler_factor
+                    + t_vae_dec + 2 * t_vae_enc + t_text), 4),
         "batch2_step_time_ratio": round(batch2_ratio, 4),
         "controlnet_marginal_ms": round(cn_cost * 1e3, 2),
         "inpaint_cn_marginal_ms": round(icn_cost * 1e3, 2),

@@ -117,6 +117,25 @@ def main(argv=None):
         np.abs(gen.astype(np.float64) - gen_vc.astype(np.float64)).mean()
     )
 
+    # fp8 weight-only storage fidelity (io/quantize.py, --weight-dtype fp8):
+    # same seed/params quantized to fp8-e4m3 per-channel storage; record the
+    # pixel divergence and (below) the char-accuracy delta as the
+    # acceptance gate for the single-chip-resident deployment mode.
+    fp8_pipe = FluxRepTextPipeline.create(
+        flux_cfg=pipe.flux.config, cn_cfg=pipe.controlnet.config,
+        vae_cfg=pipe.vae.config, pipe_cfg=pipe_cfg,
+        clip_cfg=pipe.clip.config, t5_cfg=pipe.t5.config,
+        params=dict(pipe.params),
+        compute_dtype=jnp.bfloat16 if real else jnp.float32,
+        param_dtype=jnp.bfloat16 if real else jnp.float32,
+    ).quantize_weights()
+    gen_fp8 = np.asarray(
+        fp8_pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=SEED)[0]
+    )
+    fp8_pixel_mad = float(
+        np.abs(gen.astype(np.float64) - gen_fp8.astype(np.float64)).mean()
+    )
+
     rows = []
     for i, lc in enumerate(conds.lines):
         x0, y0, x1, y1 = lc.bbox
@@ -146,6 +165,8 @@ def main(argv=None):
                         for lc in conds.lines],
             "cached": [gen_vc[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]
                        for lc in conds.lines],
+            "fp8": [gen_fp8[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]
+                    for lc in conds.lines],
             "perfect": [lc.glyph_image[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]
                         for lc in conds.lines],
             "noise_floor": [
@@ -163,6 +184,12 @@ def main(argv=None):
             - ocr_scores["char_accuracy_cached"], 4)
         ocr_scores["velocity_cache_acceptable"] = bool(
             ocr_scores["velocity_cache_char_acc_delta"] < 0.01)
+        # fp8 weight-storage acceptance gate: same 1% char-accuracy budget
+        ocr_scores["fp8_char_acc_delta"] = round(
+            ocr_scores["char_accuracy_sampled"]
+            - ocr_scores["char_accuracy_fp8"], 4)
+        ocr_scores["fp8_acceptable"] = bool(
+            ocr_scores["fp8_char_acc_delta"] < 0.01)
         print(f"ocr judge: {ocr_scores}")
     except FileNotFoundError:
         print("ocr judge weights not found (run benchmarks/train_ocr_judge.py)")
@@ -179,6 +206,7 @@ def main(argv=None):
             [r["velocity_cached"]["edge_iou"] for r in rows])),
         **ocr_scores,
         "velocity_cache_pixel_mad": round(vc_pixel_mad, 4),
+        "fp8_pixel_mad": round(fp8_pixel_mad, 4),
         "generate_s": round(gen_s, 2),
         "lines": rows,
     }

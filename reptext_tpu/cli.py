@@ -97,6 +97,12 @@ def main(argv=None) -> int:
                         choices=["auto", "xla", "pallas"], default="auto",
                         help="attention impl: auto = Pallas flash kernel on "
                              "TPU, XLA einsum elsewhere")
+    parser.add_argument("--weight-dtype", choices=["bf16", "fp8"],
+                        default="bf16",
+                        help="fp8 = weight-only fp8-e4m3 storage of the "
+                             "transformer/ControlNet block stacks (half the "
+                             "HBM: full FLUX.1-dev+RepText becomes single-"
+                             "chip resident on 16GB; MXU math stays bf16)")
     parser.add_argument("--train-steps", type=int, default=100,
                         help="train: optimization steps")
     parser.add_argument("--batch-size", type=int, default=2,
@@ -205,6 +211,9 @@ def main(argv=None) -> int:
         )
     else:
         pipeline = FluxRepTextPipeline.create(**create_kwargs)
+
+    if args.weight_dtype == "fp8":
+        pipeline.quantize_weights()
 
     mesh = None
     if args.shard:

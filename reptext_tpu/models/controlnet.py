@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from reptext_tpu.configs import ControlNetConfig
+from reptext_tpu.io.quantize import dequantize_collection
 from reptext_tpu.nn.blocks import JointTransformerBlock, SingleTransformerBlock
 from reptext_tpu.nn.embeddings import CombinedTimestepTextEmbed
 from reptext_tpu.ops.rope import rope_cos_sin_half
@@ -104,6 +105,9 @@ class RepTextControlNet(nn.Module):
     param_dtype: Dtype = jnp.float32
     # gradient checkpointing (reference: RepText/controlnet_flux.py:321-340)
     remat: bool = False
+    # fp8 weight-only storage of the block stacks (io/quantize.py; see
+    # models/flux.py FluxTransformer2D.weight_quant). Apply-time only.
+    weight_quant: bool = False
 
     @nn.compact
     def __call__(
@@ -157,6 +161,10 @@ class RepTextControlNet(nn.Module):
 
         double_layer = (nn.remat(_ControlDoubleLayer, prevent_cse=False)
                         if self.remat else _ControlDoubleLayer)
+        if self.weight_quant:
+            double_layer = nn.map_variables(
+                double_layer, "params", trans_in_fn=dequantize_collection
+            )
         DoubleScan = nn.scan(
             double_layer,
             variable_axes={"params": 0, "intermediates": 0},
@@ -178,6 +186,10 @@ class RepTextControlNet(nn.Module):
 
         single_layer = (nn.remat(_ControlSingleLayer, prevent_cse=False)
                         if self.remat else _ControlSingleLayer)
+        if self.weight_quant:
+            single_layer = nn.map_variables(
+                single_layer, "params", trans_in_fn=dequantize_collection
+            )
         SingleScan = nn.scan(
             single_layer,
             variable_axes={"params": 0, "intermediates": 0},

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from reptext_tpu.configs import FluxConfig
+from reptext_tpu.io.quantize import dequantize_collection
 from reptext_tpu.nn.blocks import JointTransformerBlock, SingleTransformerBlock
 from reptext_tpu.nn.embeddings import CombinedTimestepTextEmbed
 from reptext_tpu.nn.layers import AdaLayerNormContinuous
@@ -135,6 +136,13 @@ class FluxTransformer2D(nn.Module):
     # Single blocks are untouched (diffusers FLUX IP-Adapter behavior;
     # reference compatibility claim: RepText/README.md:183).
     ip_adapter: bool = False
+    # fp8 weight-only storage (io/quantize.py): apply with params whose block
+    # stacks hold kernel_q8/kernel_scale pairs; each scan iteration
+    # dequantizes ONE layer slice to bf16 (nn.map_variables inside the scan),
+    # so full FLUX.1-dev (24 GB bf16) runs resident on a 16 GB chip at 12 GB.
+    # Apply-time only: init() with weight_quant=False, then
+    # io.quantize.quantize_params.
+    weight_quant: bool = False
 
     @nn.compact
     def __call__(
@@ -180,6 +188,10 @@ class FluxTransformer2D(nn.Module):
             )
 
         double_layer = nn.remat(_DoubleLayer, prevent_cse=False) if self.remat else _DoubleLayer
+        if self.weight_quant:
+            double_layer = nn.map_variables(
+                double_layer, "params", trans_in_fn=dequantize_collection
+            )
         DoubleScan = nn.scan(
             double_layer,
             variable_axes={"params": 0, "intermediates": 0},
@@ -210,6 +222,10 @@ class FluxTransformer2D(nn.Module):
         txt_len = encoder_hidden_states.shape[1]
 
         single_layer = nn.remat(_SingleLayer, prevent_cse=False) if self.remat else _SingleLayer
+        if self.weight_quant:
+            single_layer = nn.map_variables(
+                single_layer, "params", trans_in_fn=dequantize_collection
+            )
         SingleScan = nn.scan(
             single_layer,
             variable_axes={"params": 0, "intermediates": 0},

@@ -194,6 +194,34 @@ class FluxRepTextPipeline:
                 )
         return self
 
+    # ---------------------------------------------------------- quantization
+
+    def quantize_weights(self) -> "FluxRepTextPipeline":
+        """Switch the transformer + ControlNet(s) to fp8 weight-only storage.
+
+        io/quantize.py: block-stack kernels become fp8-e4m3 with per-channel
+        scales (half the bytes — full FLUX.1-dev 24GB bf16 -> 12GB, single-
+        chip resident on 16GB v5e); each scan iteration dequantizes one
+        layer slice to bf16, so MXU math and activations are unchanged.
+        VAE/text encoders stay bf16 (small). In place; returns self.
+        """
+        from reptext_tpu.io.quantize import quantize_params
+
+        # new outer dict: pipelines sharing this params dict (resolution
+        # views, fidelity A/B runs) must not see the quantized entries
+        self.params = dict(self.params)
+        for name in ("flux", "controlnet", "inpaint_controlnet"):
+            if name in self.params:
+                tree = dict(self.params[name])
+                tree["params"] = jax.device_put(quantize_params(tree["params"]))
+                self.params[name] = tree
+        self.flux = self.flux.clone(weight_quant=True)
+        self.controlnet = self.controlnet.clone(weight_quant=True)
+        if getattr(self, "inpaint_controlnet", None) is not None:
+            self.inpaint_controlnet = self.inpaint_controlnet.clone(
+                weight_quant=True)
+        return self
+
     # ------------------------------------------------------------ ip-adapter
 
     def attach_ip_adapter(
