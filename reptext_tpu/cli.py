@@ -186,6 +186,19 @@ def main(argv=None) -> int:
     else:
         flux_cfg, cn_cfg = FluxConfig(), ControlNetConfig()
         vae_cfg, clip_cfg, t5_cfg = VAEConfig(), CLIPConfig(), T5Config()
+    saved_cfgs = {}
+    if args.checkpoint_dir and not args.tiny:
+        # geometry recorded by io/convert_cli.py (from each checkpoint's HF
+        # config.json) wins over library defaults — builds the exact model
+        # the published weights were trained with
+        from reptext_tpu.io.checkpoint import load_saved_configs
+
+        saved_cfgs = load_saved_configs(args.checkpoint_dir)
+        flux_cfg = saved_cfgs.get("flux", flux_cfg)
+        cn_cfg = saved_cfgs.get("controlnet", cn_cfg)
+        vae_cfg = saved_cfgs.get("vae", vae_cfg)
+        clip_cfg = saved_cfgs.get("clip", clip_cfg)
+        t5_cfg = saved_cfgs.get("t5", t5_cfg)
 
     params = None
     if args.checkpoint_dir:
@@ -205,7 +218,9 @@ def main(argv=None) -> int:
     if inpaint:
         from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
         import dataclasses as _dc
-        inpaint_cn_cfg = _dc.replace(cn_cfg, extra_condition_channels=4)
+        inpaint_cn_cfg = saved_cfgs.get(
+            "inpaint_controlnet", _dc.replace(cn_cfg, extra_condition_channels=4)
+        )
         pipeline = FluxRepTextInpaintPipeline.create_inpaint(
             inpaint_cn_cfg=inpaint_cn_cfg, **create_kwargs
         )

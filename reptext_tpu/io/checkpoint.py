@@ -38,6 +38,58 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def load_saved_configs(directory: str) -> Dict[str, Any]:
+    """Rebuild config dataclasses from a converter-written ``configs.json``.
+
+    ``io.convert_cli`` records each component's checkpoint-derived geometry
+    (depths, guidance embeds, extra condition channels, union mode) so
+    drivers construct the EXACT model the weights were trained with instead
+    of library defaults — the TPU equivalent of diffusers reading a hub
+    ``config.json`` (reference: RepText/controlnet_flux.py:44 ConfigMixin).
+    Returns {} when the directory has no configs.json (e.g. hand-built
+    checkpoints); unknown component names and fields are ignored.
+    """
+    import dataclasses
+    import json
+
+    path = os.path.join(os.path.abspath(directory), "configs.json")
+    if not os.path.isfile(path):
+        return {}
+    from reptext_tpu.configs import (
+        CLIPConfig,
+        CLIPVisionConfig,
+        ControlNetConfig,
+        FluxConfig,
+        T5Config,
+        VAEConfig,
+    )
+
+    classes = {
+        "flux": FluxConfig,
+        "controlnet": ControlNetConfig,
+        "inpaint_controlnet": ControlNetConfig,
+        "vae": VAEConfig,
+        "clip": CLIPConfig,
+        "t5": T5Config,
+        "clip_vision": CLIPVisionConfig,
+    }
+    with open(path) as f:
+        raw = json.load(f)
+    out: Dict[str, Any] = {}
+    for name, d in raw.items():
+        cls = classes.get(name)
+        if cls is None or not isinstance(d, dict):
+            continue
+        fields = {fld.name: fld for fld in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            kw[k] = tuple(v) if isinstance(v, list) else v
+        out[name] = cls(**kw)
+    return out
+
+
 def save_pipeline_params(params: Dict[str, Any], directory: str) -> None:
     """Save each component param tree under directory/<component>."""
     ckptr = _checkpointer()

@@ -27,7 +27,12 @@ from reptext_tpu.configs import CLIPConfig, ControlNetConfig, FluxConfig, T5Conf
 
 
 def load_safetensors_state(path: str, dtype=np.float32) -> Dict[str, np.ndarray]:
-    """Load one .safetensors file or every shard in a directory."""
+    """Load one .safetensors file or every shard in a directory.
+
+    ``dtype=None`` keeps each tensor's stored dtype (published FLUX
+    checkpoints are bf16; safetensors returns them as ml_dtypes.bfloat16
+    numpy arrays, which every converter transform here preserves).
+    """
     from safetensors import safe_open
 
     files: List[str]
@@ -42,7 +47,9 @@ def load_safetensors_state(path: str, dtype=np.float32) -> Dict[str, np.ndarray]
         with safe_open(f, framework="np") as reader:
             for key in reader.keys():
                 arr = reader.get_tensor(key)
-                state[key] = arr.astype(dtype) if arr.dtype != dtype else arr
+                if dtype is not None and arr.dtype != dtype:
+                    arr = arr.astype(dtype)
+                state[key] = arr
     return state
 
 

@@ -1,0 +1,174 @@
+"""End-to-end converter-CLI tests: HF snapshot dirs -> runnable checkpoint dir.
+
+The reference's loading story is diffusers ``from_pretrained`` over an HF
+snapshot (RepText/infer.py:30-33); ours is a one-time offline conversion via
+``python -m reptext_tpu.io.convert_cli``. These tests build synthetic
+HF-layout snapshots (exact diffusers/transformers key names + config.json,
+see tests/synth_checkpoints.py), run the real CLI main(), and assert that
+
+  * every component converts and restores through orbax bit-exactly vs a
+    direct in-process conversion of the same state dict,
+  * ``configs.json`` round-trips each component's checkpoint-derived
+    geometry through ``load_saved_configs`` (the driver's path),
+  * storage dtype policy (keep / bf16) is honored,
+  * tokenizer assets are copied for the vendored tokenizers.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from reptext_tpu.configs import CLIPConfig, ControlNetConfig, FluxConfig, T5Config, VAEConfig
+from reptext_tpu.io import convert_cli
+from reptext_tpu.io.checkpoint import (
+    LAYOUT_VERSION,
+    checkpoint_layout_version,
+    load_pipeline_params,
+    load_saved_configs,
+)
+
+from tests import synth_checkpoints as synth
+
+
+def _cfgs():
+    # HF configs don't record time_embed_dim (a fixed diffusers constant),
+    # so the converter derives it from library defaults — the synthetic
+    # snapshots must be built at the default value for shapes to agree.
+    default_ted = FluxConfig().time_embed_dim
+    flux = dataclasses.replace(FluxConfig().tiny(), time_embed_dim=default_ted)
+    cn = dataclasses.replace(
+        ControlNetConfig().tiny(), time_embed_dim=default_ted, num_mode=10
+    )
+    inpaint_cn = dataclasses.replace(
+        cn, num_mode=None, extra_condition_channels=4
+    )
+    return flux, cn, inpaint_cn, VAEConfig().tiny(), CLIPConfig().tiny(), T5Config().tiny()
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    flux, cn, inpaint_cn, vae, clip, t5 = _cfgs()
+    root = tmp_path_factory.mktemp("hf")
+    pipe_dir = str(root / "pipeline")
+    synth.write_flux_pipeline_snapshot(pipe_dir, flux, vae, clip, t5)
+    # tokenizer assets the CLI should copy through
+    for sub, files in (
+        ("tokenizer", {"vocab.json": "{}", "merges.txt": "#version: 0.2"}),
+        ("tokenizer_2", {"spiece.model": "\x00fake"}),
+    ):
+        os.makedirs(os.path.join(pipe_dir, sub), exist_ok=True)
+        for fname, content in files.items():
+            with open(os.path.join(pipe_dir, sub, fname), "w") as f:
+                f.write(content)
+    cn_dir = str(root / "controlnet")
+    synth.write_controlnet_snapshot(cn_dir, cn)
+    ip_dir = str(root / "inpaint_controlnet")
+    synth.write_controlnet_snapshot(ip_dir, inpaint_cn)
+    out = str(root / "out")
+    rc = convert_cli.main([
+        "--pipeline-dir", pipe_dir,
+        "--controlnet-dir", cn_dir,
+        "--inpaint-controlnet-dir", ip_dir,
+        "--out", out,
+    ])
+    assert rc == 0
+    return dict(out=out, pipe_dir=pipe_dir, cn_dir=cn_dir, ip_dir=ip_dir,
+                cfgs=(flux, cn, inpaint_cn, vae, clip, t5))
+
+
+def test_configs_roundtrip(converted):
+    flux, cn, inpaint_cn, vae, clip, t5 = converted["cfgs"]
+    saved = load_saved_configs(converted["out"])
+    assert saved["flux"] == flux
+    assert saved["controlnet"] == cn
+    assert saved["inpaint_controlnet"] == inpaint_cn
+    assert saved["vae"] == vae
+    assert saved["clip"] == clip
+    assert saved["t5"] == t5
+
+
+def test_layout_version_written(converted):
+    assert checkpoint_layout_version(converted["out"]) == LAYOUT_VERSION
+
+
+def test_components_restore_bitexact(converted):
+    """Orbax round-trip equals a direct in-process conversion."""
+    import jax
+
+    from reptext_tpu.io import convert as C
+
+    flux, cn, *_ = converted["cfgs"]
+    params = load_pipeline_params(converted["out"])
+    assert set(params) >= {"flux", "controlnet", "inpaint_controlnet", "vae", "clip", "t5"}
+
+    state = C.load_safetensors_state(
+        os.path.join(converted["pipe_dir"], "transformer"), dtype=None
+    )
+    direct = C.convert_flux_transformer(state, flux)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params["flux"])[0],
+        jax.tree_util.tree_flatten_with_path(direct)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cstate = C.load_safetensors_state(converted["cn_dir"], dtype=None)
+    cdirect = C.convert_controlnet(cstate, cn)
+    leaves_a = jax.tree_util.tree_leaves(params["controlnet"])
+    leaves_b = jax.tree_util.tree_leaves(cdirect)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dtype_keep_preserves_storage(converted):
+    """Synthetic states are fp32; --dtype keep must not cast them."""
+    import jax
+
+    params = load_pipeline_params(converted["out"], components=("flux",))
+    dtypes = {np.asarray(v).dtype for v in jax.tree_util.tree_leaves(params["flux"])}
+    assert dtypes == {np.dtype(np.float32)}
+
+
+def test_dtype_bf16(converted, tmp_path):
+    import jax
+    import ml_dtypes
+
+    out = str(tmp_path / "bf16")
+    rc = convert_cli.main([
+        "--controlnet-dir", converted["cn_dir"], "--dtype", "bf16", "--out", out,
+    ])
+    assert rc == 0
+    params = load_pipeline_params(out, components=("controlnet",))
+    float_dtypes = {
+        np.asarray(v).dtype
+        for v in jax.tree_util.tree_leaves(params["controlnet"])
+        if not np.issubdtype(np.asarray(v).dtype, np.integer)
+    }
+    assert float_dtypes == {np.dtype(ml_dtypes.bfloat16)}
+
+
+def test_tokenizer_assets_copied(converted):
+    out = converted["out"]
+    assert os.path.isfile(os.path.join(out, "tokenizer", "vocab.json"))
+    assert os.path.isfile(os.path.join(out, "tokenizer", "merges.txt"))
+    assert os.path.isfile(os.path.join(out, "tokenizer_2", "spiece.model"))
+
+
+def test_configs_json_is_complete_dataclass_dump(converted):
+    with open(os.path.join(converted["out"], "configs.json")) as f:
+        raw = json.load(f)
+    flux_fields = {f.name for f in dataclasses.fields(FluxConfig)}
+    assert set(raw["flux"]) == flux_fields
+
+
+def test_load_saved_configs_missing_dir(tmp_path):
+    assert load_saved_configs(str(tmp_path)) == {}
+
+
+def test_nothing_to_convert_errors():
+    with pytest.raises(SystemExit):
+        convert_cli.main(["--out", "/tmp/nope"])
