@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     parser.add_argument("--controlnet-scale", type=float, default=1.0)
     parser.add_argument("--controlnet-step", type=int, default=30,
                         help="ControlNet active for the first N steps")
+    parser.add_argument("--controlnet-mode", type=int, default=None,
+                        help="union-mode conditioning-type index (required "
+                             "when the loaded ControlNet is a union model)")
     parser.add_argument("--velocity-cache-interval", type=int, default=1,
                         help="run the transformer every k-th step after warmup, "
                              "reusing the last velocity between (1 = off)")
@@ -120,6 +123,12 @@ def main(argv=None) -> int:
                         help="directory with converted orbax/safetensors weights")
     parser.add_argument("--random-weights", action="store_true",
                         help="random-init weights (smoke/demo mode)")
+    parser.add_argument("--lora", action="append", default=None, metavar="PATH",
+                        help="LoRA safetensors (diffusers FLUX naming) merged "
+                             "into the transformer at load time; repeatable")
+    parser.add_argument("--lora-scale", action="append", type=float, default=None,
+                        metavar="S", help="merge scale for the matching --lora "
+                                          "(default 1.0 each)")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model geometry (demo on small hosts)")
     parser.add_argument("--no-shape", action="store_true",
@@ -175,6 +184,7 @@ def main(argv=None) -> int:
         guidance_scale=args.guidance_scale,
         controlnet_conditioning_scale=args.controlnet_scale,
         controlnet_conditioning_step=args.controlnet_step,
+        control_mode=args.controlnet_mode,
         true_guidance_scale=args.true_guidance_scale,
         velocity_cache_interval=args.velocity_cache_interval,
         velocity_cache_warmup=args.velocity_cache_warmup,
@@ -206,6 +216,26 @@ def main(argv=None) -> int:
         params = load_pipeline_params(args.checkpoint_dir)
     elif not args.random_weights:
         parser.error("pass --checkpoint-dir or --random-weights")
+
+    if args.lora:
+        # inference-time LoRA as ahead-of-time weight surgery (reference uses
+        # diffusers PEFT layers, RepText/pipeline_flux_controlnet.py:394-403;
+        # merging keeps the sampler graph LoRA-free = zero runtime overhead)
+        if params is None or "flux" not in params:
+            parser.error("--lora requires --checkpoint-dir with a flux component")
+        from reptext_tpu.io.convert import load_safetensors_state
+        from reptext_tpu.io.lora import apply_lora
+
+        scales = list(args.lora_scale or [])
+        if len(scales) > len(args.lora):
+            parser.error("more --lora-scale values than --lora paths")
+        scales += [1.0] * (len(args.lora) - len(scales))
+        for path, scale in zip(args.lora, scales):
+            params["flux"] = apply_lora(
+                params["flux"], load_safetensors_state(path, dtype=None),
+                scale=scale, head_dim=flux_cfg.attention_head_dim,
+            )
+            print(f"merged LoRA {path} (scale {scale})")
 
     dtype = jnp.bfloat16 if not args.tiny else jnp.float32
     create_kwargs = dict(

@@ -249,6 +249,11 @@ class PipelineConfig:
     # ControlNet runs only for the first N steps
     # (reference: RepText/pipeline_flux_controlnet.py:1042-1058).
     controlnet_conditioning_step: int = 25
+    # Union-mode conditioning-type index, required when the loaded ControlNet
+    # is union (ControlNetConfig.num_mode is not None); the mode-token row
+    # selected from controlnet_mode_embedder
+    # (reference: RepText/pipeline_flux_controlnet.py:763,1046 control_mode).
+    control_mode: Optional[int] = None
     max_sequence_length: int = 512        # T5 token budget (hard cap in reference)
     # Glyph-latent initialization: in-mask latent = glyph_scale*VAE(glyph) + noise
     # (reference: RepText/pipeline_flux_controlnet_inpaint.py:635-649). The reference

@@ -208,9 +208,18 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
                 )
 
             def rt_apply(p, x, cond, ctx, pooled, t, iid, tid, g, scale):
+                kw = {}
+                if self.controlnet.config.union:
+                    # (reference: RepText/pipeline_flux_controlnet.py:763,1046)
+                    if cfg.control_mode is None:
+                        raise ValueError(
+                            "union-mode ControlNet loaded; set "
+                            "PipelineConfig.control_mode (CLI: --controlnet-mode)"
+                        )
+                    kw["mode"] = jnp.full((x.shape[0],), cfg.control_mode, jnp.int32)
                 return self.controlnet.apply(
                     p, x, cond, ctx, pooled, t, iid, tid, g,
-                    conditioning_scale=scale,
+                    conditioning_scale=scale, **kw,
                 )
 
             def inp_apply(p, x, cond, ctx, pooled, t, iid, tid, g, scale):

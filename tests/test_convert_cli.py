@@ -165,6 +165,58 @@ def test_configs_json_is_complete_dataclass_dump(converted):
     assert set(raw["flux"]) == flux_fields
 
 
+def test_cli_lora_requires_checkpoint():
+    from reptext_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--text", "a", "--position", "1", "2", "--random-weights",
+              "--tiny", "--lora", "/tmp/nope.safetensors"])
+
+
+@pytest.mark.slow
+def test_cli_generation_from_converted_checkpoint_with_lora(converted, tmp_path, capsys):
+    """Full driver path: converted checkpoint dir (geometry from configs.json,
+    --tiny NOT passed) + LoRA weight surgery + txt2img to a PNG."""
+    from safetensors.numpy import save_file
+
+    from reptext_tpu.cli import main
+
+    flux = converted["cfgs"][0]
+    r = np.random.default_rng(7)
+    rank, d = 2, flux.inner_dim
+    lora = {
+        # plain module + a RoPE-permuted q projection
+        "transformer.x_embedder.lora_A.weight":
+            r.standard_normal((rank, flux.in_channels)).astype(np.float32) * 0.1,
+        "transformer.x_embedder.lora_B.weight":
+            r.standard_normal((d, rank)).astype(np.float32) * 0.1,
+        "transformer.transformer_blocks.0.attn.to_q.lora_A.weight":
+            r.standard_normal((rank, d)).astype(np.float32) * 0.1,
+        "transformer.transformer_blocks.0.attn.to_q.lora_B.weight":
+            r.standard_normal((d, rank)).astype(np.float32) * 0.1,
+    }
+    lora_path = str(tmp_path / "lora.safetensors")
+    save_file(lora, lora_path)
+    # drop the fixture's placeholder tokenizer assets (not real vocab files)
+    # so the driver uses its deterministic fallback ids
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copytree(converted["out"], ckpt,
+                    ignore=shutil.ignore_patterns("tokenizer*"))
+    out = tmp_path / "out.png"
+    rc = main([
+        "--text", "Hi", "--position", "8", "16",
+        "--checkpoint-dir", ckpt,
+        "--lora", lora_path, "--lora-scale", "0.5",
+        "--size", "64", "--steps", "2", "--controlnet-step", "1",
+        "--controlnet-mode", "3",  # fixture CN is union (num_mode=10)
+        "--font-size", "24", "--output", str(out),
+    ])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
+    assert "merged LoRA" in capsys.readouterr().out
+
+
 def test_load_saved_configs_missing_dir(tmp_path):
     assert load_saved_configs(str(tmp_path)) == {}
 
