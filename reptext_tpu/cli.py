@@ -112,6 +112,12 @@ def main(argv=None) -> int:
                         help="train: samples per step")
     parser.add_argument("--learning-rate", type=float, default=1e-5)
     parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--ocr-loss-weight", type=float, default=0.0,
+                        help="weight of the in-graph OCR CTC text-perceptual "
+                             "loss (decodes predicted x0 through the frozen "
+                             "VAE + OCR judge; 0 disables)")
+    parser.add_argument("--ocr-judge", default=None, metavar="NPZ",
+                        help="OCR judge weights (default benchmarks/ocr_judge.npz)")
     parser.add_argument("--text-loss-weight", type=float, default=2.0,
                         help="train: extra loss weight inside text-region tokens")
     parser.add_argument("--checkpoint-every", type=int, default=50,
@@ -425,13 +431,35 @@ def _train(args, pipeline) -> int:
         return pipeline.controlnet.apply(p, x, cnd, ctx, pooled, t, iid, tid,
                                          g, conditioning_scale=scale)
 
+    perceptual, frozen_extra = None, ()
+    if args.ocr_loss_weight > 0.0:
+        # OCR text-perceptual term: frozen VAE decoder + frozen CTC judge
+        # inside the jitted step (sampling/ocr_loss.py)
+        from reptext_tpu.eval.ocr import load_judge
+        from reptext_tpu.ops.latents import unpack_latents
+
+        cfg = pipeline.pipe_cfg
+        vcfg = pipeline.vae.config
+
+        def decode_apply(vae_params, x0_packed):
+            lat = unpack_latents(x0_packed, cfg.latent_height, cfg.latent_width)
+            lat = lat / vcfg.scaling_factor + vcfg.shift_factor
+            return pipeline.vae.apply(
+                vae_params, lat.transpose(0, 2, 3, 1), method="decode"
+            )
+
+        perceptual = {"decode_apply": decode_apply, "judge_apply": None,
+                      "weight": args.ocr_loss_weight}
+        frozen_extra = (pipeline.params["vae"], load_judge(args.ocr_judge))
+
     step = jax.jit(make_controlnet_train_step(
         flux_apply, cn_apply, optimizer,
         text_loss_weight=args.text_loss_weight,
+        perceptual=perceptual,
     ))
     loader = PrefetchLoader(dataset.batch, depth=2)  # host build overlaps device step
     trainer = ElasticTrainer(
-        bind_frozen_base(step, flux_params),
+        bind_frozen_base(step, flux_params, *frozen_extra),
         batch_fn=loader,
         checkpoint_dir=args.train_dir,
         checkpoint_every=args.checkpoint_every,

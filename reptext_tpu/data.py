@@ -121,10 +121,16 @@ class GlyphTextDataset:
 
     def batch(self, step: int) -> Dict[str, jax.Array]:
         """Build the training batch for ``step`` (replay-deterministic)."""
+        from reptext_tpu.eval.ocr import CHAR_TO_ID, MAX_LABEL
+        from reptext_tpu.sampling.ocr_loss import aspect_box, glyph_ink_bbox
+
         cfg = self.pipe.pipe_cfg
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         cond_l, mask_l, target_l = [], [], []
         clip_l, t5_l = [], []
+        ocr_boxes = np.zeros((self.batch_size, 4), np.float32)
+        ocr_labels = np.zeros((self.batch_size, MAX_LABEL), np.int32)
+        ocr_paddings = np.ones((self.batch_size, MAX_LABEL), np.float32)
         for i in range(self.batch_size):
             spec = self.sample_spec(step, i)
             conds = build_conditions(
@@ -143,6 +149,15 @@ class GlyphTextDataset:
             cids, tids = self.tokenize(spec["prompt"])
             clip_l.append(np.asarray(cids)[0])
             t5_l.append(np.asarray(tids)[0])
+            # OCR perceptual-term fields (sampling/ocr_loss.py): the judge
+            # crop window from the KNOWN glyph bbox + case-folded labels
+            bbox = glyph_ink_bbox(conds.glyph_canvas)
+            ocr_boxes[i] = (aspect_box(bbox, cfg.height, cfg.width)
+                            if bbox else np.asarray([0, 0, 1, 1], np.float32))
+            ids = [CHAR_TO_ID[c] for c in spec["text"].upper()
+                   if c in CHAR_TO_ID][:MAX_LABEL]
+            ocr_labels[i, : len(ids)] = ids
+            ocr_paddings[i, : len(ids)] = 0.0
 
         # pad token ids to the longest in the batch (pad id 0)
         def pad_stack(rows: List[np.ndarray]) -> jnp.ndarray:
@@ -168,6 +183,9 @@ class GlyphTextDataset:
             "img_ids": prepare_latent_image_ids(cfg.latent_height, cfg.latent_width),
             "txt_ids": jnp.zeros((prompt_embeds.shape[1], 3)),
             "guidance": guidance,
+            "ocr_boxes": jnp.asarray(ocr_boxes),
+            "ocr_labels": jnp.asarray(ocr_labels),
+            "ocr_paddings": jnp.asarray(ocr_paddings),
         }
 
     __call__ = batch

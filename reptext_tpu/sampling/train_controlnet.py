@@ -50,6 +50,9 @@ def controlnet_flow_match_loss(
     rng: jax.Array,
     text_loss_weight: float = 2.0,
     conditioning_scale: float = 1.0,
+    perceptual: Optional[Dict[str, Any]] = None,
+    vae_params: Any = None,
+    judge_params: Any = None,
 ) -> jax.Array:
     """Region-weighted conditional flow-matching MSE with CN injection.
 
@@ -60,6 +63,18 @@ def controlnet_flow_match_loss(
                                  RepText/pipeline_flux_controlnet.py:1060-1069)
       prompt_embeds [B, S_txt, D_joint], pooled [B, D_pool]
       img_ids [S, 3], txt_ids [S_txt, 3], guidance [B] (optional)
+
+    Optional OCR text-perceptual term (sampling/ocr_loss.py — the RepText
+    paper's loss, in-graph): ``perceptual`` is a static dict
+    ``{"decode_apply": fn(vae_params, x0_packed) -> images [B,H,W,3],
+    "judge_apply": Optional[fn], "weight": float}``; the frozen VAE decoder
+    and OCR-judge params ride as runtime args (``vae_params`` /
+    ``judge_params``), and the batch must carry ``ocr_boxes [B,4]`` /
+    ``ocr_labels [B,L]`` / ``ocr_paddings [B,L]`` (data.py emits them).
+    x0 is recovered from the predicted velocity (x0 = x_t − t·v), decoded,
+    cropped at the known text boxes, and scored with CTC against the known
+    labels; per-sample terms ramp by (1−t) since x0-from-high-noise is
+    uninformative.
     """
     x0 = batch["x0"].astype(jnp.float32)
     b = x0.shape[0]
@@ -106,7 +121,24 @@ def controlnet_flow_match_loss(
     err = (pred.astype(jnp.float32) - target) ** 2          # [B, S, C]
     w = 1.0 + text_loss_weight * mask                        # [B, S, 1]
     # normalized weighting: text_loss_weight=0 reduces exactly to jnp.mean(err)
-    return jnp.sum(err * w) / (jnp.sum(w) * x0.shape[-1])
+    loss = jnp.sum(err * w) / (jnp.sum(w) * x0.shape[-1])
+
+    if perceptual is not None and perceptual.get("weight", 0.0) > 0.0:
+        from reptext_tpu.sampling.ocr_loss import ocr_ctc_loss
+
+        x0_pred = x_t - t_b * pred.astype(jnp.float32)
+        images = perceptual["decode_apply"](vae_params, x0_pred)
+        ocr = ocr_ctc_loss(
+            images,
+            batch["ocr_boxes"],
+            batch["ocr_labels"],
+            batch["ocr_paddings"],
+            judge_params,
+            perceptual.get("judge_apply"),
+            sample_weights=1.0 - t,
+        )
+        loss = loss + perceptual["weight"] * ocr
+    return loss
 
 
 def make_controlnet_train_step(
@@ -115,21 +147,26 @@ def make_controlnet_train_step(
     optimizer: optax.GradientTransformation,
     text_loss_weight: float = 2.0,
     conditioning_scale: float = 1.0,
+    perceptual: Optional[Dict[str, Any]] = None,
 ) -> Callable:
     """Returns ``step(cn_params, opt_state, flux_params, batch, rng) ->
-    (cn_params, opt_state, loss)``.
+    (cn_params, opt_state, loss)`` — with ``perceptual`` set (see
+    ``controlnet_flow_match_loss``), the signature gains two trailing frozen
+    trees: ``step(..., rng, vae_params, judge_params)``.
 
     Pure; jit/pjit at the call site (donate cn_params/opt_state). The frozen
-    ``flux_params`` are an argument — NOT a closure — so the 12B base rides as
-    device buffers, never as compile-time constants, and never enters the
-    optimizer state.
+    ``flux_params`` (and perceptual-term VAE/judge params) are arguments —
+    NOT closures — so the 12B base rides as device buffers, never as
+    compile-time constants, and never enters the optimizer state.
     """
 
-    def step(cn_params, opt_state, flux_params, batch, rng):
+    def step(cn_params, opt_state, flux_params, batch, rng,
+             vae_params=None, judge_params=None):
         loss, grads = jax.value_and_grad(
             lambda p: controlnet_flow_match_loss(
                 flux_apply, cn_apply, p, flux_params, batch, rng,
                 text_loss_weight, conditioning_scale,
+                perceptual, vae_params, judge_params,
             )
         )(cn_params)
         updates, opt_state = optimizer.update(grads, opt_state, cn_params)
@@ -145,12 +182,15 @@ def make_joint_train_step(
     optimizer: optax.GradientTransformation,
     text_loss_weight: float = 2.0,
     conditioning_scale: float = 1.0,
+    perceptual: Optional[Dict[str, Any]] = None,
 ) -> Callable:
     """Full-model training: gradients through BOTH the base transformer and
     the ControlNet (same region-weighted flow-matching loss as the CN-only
     recipe). Returns ``step(params, opt_state, batch, rng) ->
     (params, opt_state, loss)`` where ``params = {"flux": ..., "controlnet":
-    ...}`` is one optimizer-managed tree.
+    ...}`` is one optimizer-managed tree. With ``perceptual`` set the step
+    takes two trailing frozen trees (vae_params, judge_params) like the
+    CN-only factory.
 
     This is the from-scratch / full-fine-tune path (the CN-only recipe above
     is the reference-style frozen-base training, RepText paper §training);
@@ -159,11 +199,12 @@ def make_joint_train_step(
     the train -> sample -> OCR loop on non-random weights.
     """
 
-    def step(params, opt_state, batch, rng):
+    def step(params, opt_state, batch, rng, vae_params=None, judge_params=None):
         def loss_fn(p):
             return controlnet_flow_match_loss(
                 flux_apply, cn_apply, p["controlnet"], p["flux"], batch, rng,
                 text_loss_weight, conditioning_scale,
+                perceptual, vae_params, judge_params,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -174,18 +215,20 @@ def make_joint_train_step(
     return step
 
 
-def bind_frozen_base(step: Callable, flux_params: Any) -> Callable:
+def bind_frozen_base(step: Callable, flux_params: Any, *frozen: Any) -> Callable:
     """Adapt a controlnet train step to the ElasticTrainer signature
     ``(params, opt_state, batch, rng) -> (params, opt_state, loss)``.
 
-    ``flux_params`` stay call-time arguments of the underlying (possibly
-    jitted) step — binding happens outside the traced function, so the frozen
-    base is not baked into the executable as constants.
+    ``flux_params`` (and any extra ``frozen`` trees — e.g. the perceptual
+    term's VAE decoder + OCR-judge params, appended after ``rng``) stay
+    call-time arguments of the underlying (possibly jitted) step — binding
+    happens outside the traced function, so the frozen trees are not baked
+    into the executable as constants.
     """
 
     @functools.wraps(step)
     def bound(cn_params, opt_state, batch, rng):
-        return step(cn_params, opt_state, flux_params, batch, rng)
+        return step(cn_params, opt_state, flux_params, batch, rng, *frozen)
 
     return bound
 

@@ -43,6 +43,16 @@ def test_batch_shapes(dataset):
     # masks are real text regions: nonzero somewhere, not everywhere
     m = np.asarray(b["token_mask"])
     assert 0 < m.sum() < m.size
+    # OCR perceptual-term fields (sampling/ocr_loss.py)
+    from reptext_tpu.eval.ocr import MAX_LABEL
+
+    assert b["ocr_boxes"].shape == (2, 4)
+    boxes = np.asarray(b["ocr_boxes"])
+    assert np.all(boxes[:, 2] > boxes[:, 0]) and np.all(boxes[:, 3] > boxes[:, 1])
+    assert b["ocr_labels"].shape == (2, MAX_LABEL)
+    assert b["ocr_paddings"].shape == (2, MAX_LABEL)
+    # every sample has at least one labeled character
+    assert np.all((1.0 - np.asarray(b["ocr_paddings"])).sum(axis=1) >= 1)
 
 
 def test_step_indexed_determinism(dataset):
