@@ -122,6 +122,10 @@ def main(argv=None) -> int:
                         help="train: extra loss weight inside text-region tokens")
     parser.add_argument("--checkpoint-every", type=int, default=50,
                         help="train: steps between elastic restore points")
+    parser.add_argument("--corpus-dir", default=None, metavar="DIR",
+                        help="train on an annotated photo corpus "
+                             "(annotations.jsonl + images; data_disk.py) "
+                             "instead of synthetic composites")
     parser.add_argument("--train-dir", default=None,
                         help="train: orbax restore-point/output directory "
                              "(omit for in-memory restore points)")
@@ -417,10 +421,18 @@ def _train(args, pipeline) -> int:
         cn_cfg.num_layers, cn_cfg.num_single_layers,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
     )
-    dataset = GlyphTextDataset(
-        pipeline, batch_size=args.batch_size, font_path=args.font,
-        seed=args.seed,
-    )
+    if args.corpus_dir:
+        from reptext_tpu.data_disk import DiskImageTextDataset
+
+        dataset = DiskImageTextDataset(
+            pipeline, args.corpus_dir, batch_size=args.batch_size,
+            font_path=args.font, seed=args.seed,
+        )
+    else:
+        dataset = GlyphTextDataset(
+            pipeline, batch_size=args.batch_size, font_path=args.font,
+            seed=args.seed,
+        )
 
     def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
         return pipeline.flux.apply(p, x, ctx, pooled, t, iid, tid, g,

@@ -103,16 +103,16 @@ class GlyphTextDataset:
         return {"text": text, "position": position, "font_size": font_size,
                 "color": color, "bg": bg, "prompt": prompt}
 
-    @staticmethod
-    def _target_image(conds, bg: Tuple[int, int, int]) -> np.ndarray:
+    def _target_image(self, conds, spec: Dict) -> np.ndarray:
         """Training target: glyph composite over a flat background.
 
-        Replace with corpus photos for real training — the signature
+        Subclasses replace this with corpus photos for real training
+        (data_disk.DiskImageTextDataset) — the signature
         (Conditions, spec) -> [H, W, 3] uint8 is the only contract.
         """
         canvas = conds.glyph_canvas
         img = np.empty_like(canvas)
-        img[:] = np.asarray(bg, np.uint8)
+        img[:] = np.asarray(spec["bg"], np.uint8)
         ink = (canvas > 0).any(axis=-1)
         img[ink] = canvas[ink]
         return img
@@ -143,7 +143,7 @@ class GlyphTextDataset:
             ct, tm = self.pipe.prepare_control_tokens(conds, r_cond)
             cond_l.append(ct[0])            # single line per sample
             mask_l.append(tm[0])
-            img = preprocess_images(self._target_image(conds, spec["bg"]))
+            img = preprocess_images(self._target_image(conds, spec))
             lat = self.pipe._encode_scaled(jnp.asarray(img), r_img)
             target_l.append(pack_latents(lat.transpose(0, 3, 1, 2))[0])
             cids, tids = self.tokenize(spec["prompt"])

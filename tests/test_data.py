@@ -130,3 +130,85 @@ def test_trainable_with_controlnet_step(dataset):
     _, _, loss = step(cn_params, opt_state, pipe.params["flux"], batch,
                       jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+# ------------------------------------------------------------- disk corpus
+
+
+def _write_corpus(root, n=5):
+    """Synthetic photo corpus: flat-color 'photos' + annotations.jsonl."""
+    import json
+    import os
+
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    rng = np.random.default_rng(3)
+    words = ["CAFE", "STOP", "سوق", "نور", "2026"]
+    with open(os.path.join(root, "annotations.jsonl"), "w") as f:
+        for i in range(n):
+            arr = np.full((96, 80, 3), rng.integers(0, 255, 3), np.uint8)
+            Image.fromarray(arr).save(os.path.join(root, f"imgs/{i}.png"))
+            rec = {
+                "image": f"imgs/{i}.png",
+                "prompt": f"a sign number {i}",
+                "lines": [
+                    {"text": words[i % len(words)], "position": [4, 10],
+                     "font_size": 20, "color": [255, 255, 255]},
+                    {"text": words[(i + 1) % len(words)], "position": [4, 36],
+                     "font_size": 18},
+                ],
+            }
+            f.write(json.dumps(rec) + "\n")
+    return root
+
+
+def test_disk_dataset_batch_contract(dataset, tmp_path):
+    from reptext_tpu.data_disk import DiskImageTextDataset
+
+    corpus = _write_corpus(str(tmp_path))
+    ds = DiskImageTextDataset(dataset.pipe, corpus, batch_size=2, seed=5)
+    b = ds.batch(0)
+    ref = dataset.batch(0)
+    for key in ref:
+        if ref[key] is None:
+            assert b[key] is None
+        else:
+            assert b[key].shape[0] == ref[key].shape[0] or key in ("img_ids", "txt_ids")
+    assert b["x0"].shape == ref["x0"].shape
+    assert b["ocr_labels"].shape == ref["ocr_labels"].shape
+
+
+def test_disk_dataset_deterministic_and_epoch_coverage(dataset, tmp_path):
+    from reptext_tpu.data_disk import DiskImageTextDataset
+
+    corpus = _write_corpus(str(tmp_path), n=4)
+    ds = DiskImageTextDataset(dataset.pipe, corpus, batch_size=2, seed=5)
+    s1, s2 = ds.sample_spec(1, 0), ds.sample_spec(1, 0)
+    assert s1 == s2
+    # one epoch visits every record exactly once
+    n = len(ds.records)
+    paths = {ds.sample_spec(k // 2, k % 2)["image_path"] for k in range(n)}
+    assert len(paths) == n
+
+
+def test_disk_dataset_sharding_disjoint(dataset, tmp_path):
+    from reptext_tpu.data_disk import DiskImageTextDataset
+
+    corpus = _write_corpus(str(tmp_path), n=6)
+    a = DiskImageTextDataset(dataset.pipe, corpus, batch_size=1, shard=(0, 2))
+    b = DiskImageTextDataset(dataset.pipe, corpus, batch_size=1, shard=(1, 2))
+    ia = {r["image"] for r in a.records}
+    ib = {r["image"] for r in b.records}
+    assert ia.isdisjoint(ib) and len(ia | ib) == 6
+
+
+def test_disk_dataset_validation(tmp_path):
+    import json
+
+    from reptext_tpu.data_disk import load_annotations
+
+    with open(tmp_path / "annotations.jsonl", "w") as f:
+        f.write(json.dumps({"image": "x.png", "lines": []}) + "\n")
+    with pytest.raises(ValueError):
+        load_annotations(str(tmp_path))
