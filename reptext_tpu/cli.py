@@ -271,7 +271,7 @@ def main(argv=None) -> int:
         pipeline.quantize_weights()
 
     mesh = None
-    if args.shard:
+    if args.shard and args.mode != "train":  # train shards inside _train
         import jax as _jax
 
         from reptext_tpu.parallel import make_mesh
@@ -469,7 +469,33 @@ def _train(args, pipeline) -> int:
         text_loss_weight=args.text_loss_weight,
         perceptual=perceptual,
     ))
-    loader = PrefetchLoader(dataset.batch, depth=2)  # host build overlaps device step
+
+    batch_fn = dataset.batch
+    if args.shard:
+        # distributed training: Megatron TP rules on both stacks + dp batch
+        # sharding (parallel/partition.py); the jitted step compiles SPMD
+        # from the input shardings (parity: mesh_scenarios.
+        # check_sharded_cn_train_step)
+        from reptext_tpu.parallel import make_mesh, shard_batch, shard_params
+
+        if args.shard == "auto":
+            dp, tp = 1, len(jax.devices())
+        else:
+            dp, tp = (int(x) for x in args.shard.lower().split("x"))
+        if args.batch_size % max(dp, 1) != 0:
+            raise SystemExit(f"--batch-size {args.batch_size} not divisible "
+                             f"by dp={dp}")
+        mesh = make_mesh(dp=dp, tp=tp)
+        flux_params = shard_params(flux_params, mesh)
+        cn_params = shard_params(cn_params, mesh)
+        opt_state = jax.jit(optimizer.init)(cn_params)
+        frozen_extra = tuple(
+            shard_params(t, mesh) if t is not None else None
+            for t in frozen_extra
+        )
+        batch_fn = lambda s: shard_batch(dataset.batch(s), mesh)  # noqa: E731
+
+    loader = PrefetchLoader(batch_fn, depth=2)  # host build overlaps device step
     trainer = ElasticTrainer(
         bind_frozen_base(step, flux_params, *frozen_extra),
         batch_fn=loader,

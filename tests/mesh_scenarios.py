@@ -267,6 +267,84 @@ def check_sp_sampler():
     print("sp fused-sampler parity OK (whole denoise scan sequence-sharded)")
 
 
+def check_sharded_cn_train_step(parity: bool = True):
+    """ControlNet training (frozen base) under dp=2 x tp=4: sharded loss and
+    updated params match the single-device step (the cli.py --mode train
+    --shard path). ``parity=False`` skips the single-device reference run
+    (used by the dryrun artifact, where the double compile would blow the
+    wall-clock budget on slow hosts; full parity runs in the test suite)."""
+    import optax
+
+    from reptext_tpu.configs import ControlNetConfig
+    from reptext_tpu.models import RepTextControlNet
+    from reptext_tpu.sampling.train_controlnet import make_controlnet_train_step
+
+    cn_cfg = ControlNetConfig().tiny()
+    flux, cn = FluxTransformer2D(CFG), RepTextControlNet(cn_cfg)
+    b, s_txt, s_img = 4, 4, 16
+    r = np.random.default_rng(3)
+    img_ids = prepare_latent_image_ids(8, 8)
+    txt_ids = jnp.zeros((s_txt, 3))
+    batch = {
+        "x0": jnp.asarray(r.standard_normal((b, s_img, CFG.in_channels)), jnp.float32),
+        "cond_tokens": jnp.asarray(r.standard_normal(
+            (b, s_img, cn_cfg.in_channels + cn_cfg.extra_condition_channels)), jnp.float32),
+        "token_mask": jnp.ones((b, s_img, 1)),
+        "prompt_embeds": jnp.asarray(
+            r.standard_normal((b, s_txt, CFG.joint_attention_dim)), jnp.float32),
+        "pooled": jnp.asarray(
+            r.standard_normal((b, CFG.pooled_projection_dim)), jnp.float32),
+        "img_ids": img_ids, "txt_ids": txt_ids,
+        "guidance": jnp.full((b,), 3.5),
+    }
+    rng = jax.random.PRNGKey(0)
+    t0 = jnp.zeros((b,))
+    flux_params = flux.init(rng, batch["x0"], batch["prompt_embeds"],
+                            batch["pooled"], t0, img_ids, txt_ids, batch["guidance"])
+    cn_params = cn.init(rng, batch["x0"], batch["cond_tokens"],
+                        batch["prompt_embeds"], batch["pooled"], t0,
+                        img_ids, txt_ids, batch["guidance"])
+
+    def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
+        return flux.apply(p, x, ctx, pooled, t, iid, tid, g,
+                          controlnet_block_samples=br,
+                          controlnet_single_block_samples=sr)
+
+    def cn_apply(p, x, cnd, ctx, pooled, t, iid, tid, g, scale):
+        return cn.apply(p, x, cnd, ctx, pooled, t, iid, tid, g,
+                        conditioning_scale=scale)
+
+    optimizer = optax.sgd(1e-3)
+    step = jax.jit(make_controlnet_train_step(flux_apply, cn_apply, optimizer))
+    rng_step = jax.random.PRNGKey(7)
+    ref_params = ref_loss = None
+    if parity:
+        ref_params, _, ref_loss = step(
+            cn_params, optimizer.init(cn_params), flux_params, batch, rng_step)
+
+    mesh = make_mesh(dp=2, tp=4)
+    flux_s = shard_params(flux_params, mesh)
+    cn_s = shard_params(cn_params, mesh)
+    opt_s = jax.jit(optimizer.init)(cn_s)
+    batch_s = shard_batch(batch, mesh)
+    got_params, _, got_loss = step(cn_s, opt_s, flux_s, batch_s, rng_step)
+
+    assert np.isfinite(float(got_loss)), f"non-finite sharded loss {got_loss}"
+    if parity:
+        np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=2e-5)
+        err = max(
+            float(jnp.max(jnp.abs(a - b_)))
+            for a, b_ in zip(jax.tree_util.tree_leaves(ref_params),
+                             jax.tree_util.tree_leaves(got_params))
+        )
+        assert err < 2e-5, f"sharded CN train-step param divergence: {err}"
+        print(f"check_sharded_cn_train_step OK (loss={float(got_loss):.5f}, "
+              f"max param err={err:.2e})")
+    else:
+        print(f"check_sharded_cn_train_step OK (sharded-only, "
+              f"loss={float(got_loss):.5f})")
+
+
 def main():
     assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8, (
         jax.default_backend(), len(jax.devices()))
@@ -281,6 +359,7 @@ def main():
     check_sp_model_forward()
     check_sp_sampler()
     check_pipeline_tp_inference()
+    check_sharded_cn_train_step()
     print("ALL MESH SCENARIOS OK")
 
 
