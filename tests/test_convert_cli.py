@@ -217,6 +217,36 @@ def test_cli_generation_from_converted_checkpoint_with_lora(converted, tmp_path,
     assert "merged LoRA" in capsys.readouterr().out
 
 
+@pytest.mark.slow
+def test_cli_inpaint_from_converted_checkpoint(converted, tmp_path):
+    """Inpaint driver from the converted dir: the 68-feature (extra=4)
+    inpaint_controlnet geometry must come from configs.json."""
+    from PIL import Image
+
+    from reptext_tpu.cli import main
+
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copytree(converted["out"], ckpt,
+                    ignore=shutil.ignore_patterns("tokenizer*"))
+    rng = np.random.default_rng(0)
+    img_p, mask_p = str(tmp_path / "in.png"), str(tmp_path / "mask.png")
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(img_p)
+    m = np.zeros((64, 64), np.uint8)
+    m[16:48, 8:56] = 255
+    Image.fromarray(m).save(mask_p)
+    out = tmp_path / "out.png"
+    rc = main([
+        "--mode", "inpaint", "--image", img_p, "--mask", mask_p,
+        "--text", "Hi", "--position", "8", "16",
+        "--checkpoint-dir", ckpt, "--controlnet-mode", "3",
+        "--size", "64", "--steps", "2", "--controlnet-step", "1",
+        "--font-size", "24", "--output", str(out),
+    ])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
+
+
 def test_load_saved_configs_missing_dir(tmp_path):
     assert load_saved_configs(str(tmp_path)) == {}
 
