@@ -302,7 +302,7 @@ def main(argv=None) -> int:
                 vision_cfg=(CLIPVisionConfig().tiny() if args.tiny
                             else CLIPVisionConfig()),
                 params=_lpp(args.ip_adapter_dir,
-                            components=("vision", "proj", "flux")),
+                            components=("vision", "proj", "blocks", "flux")),
             )
 
         def tokenizer(prompt):
@@ -377,7 +377,7 @@ def main(argv=None) -> int:
                 from reptext_tpu.io.checkpoint import load_pipeline_params
 
                 ip_params = load_pipeline_params(
-                    args.ip_adapter_dir, components=("vision", "proj", "flux"))
+                    args.ip_adapter_dir, components=("vision", "proj", "blocks", "flux"))
             pipeline.attach_ip_adapter(
                 vision_cfg=(CLIPVisionConfig().tiny() if args.tiny
                             else CLIPVisionConfig()),

@@ -272,6 +272,18 @@ class FluxRepTextPipeline:
         )
         if "flux" in params:
             self.params["flux"] = params["flux"]
+        elif "blocks" in params:
+            # converter-CLI layout (io/convert_cli.py): stacked to_k_ip /
+            # to_v_ip saved standalone, merged into the RESIDENT flux params
+            # here — avoids duplicating the 24 GB transformer on disk
+            from reptext_tpu.io.convert import merge_ip_adapter_into_flux
+
+            blocks = params["blocks"]
+            if "params" in blocks:      # orbax component wraps under params
+                blocks = blocks["params"]
+            self.params["flux"] = merge_ip_adapter_into_flux(
+                self.params["flux"], blocks
+            )
         else:
             # graft random to_k_ip + ZERO to_v_ip onto the existing weights
             cfg = self.flux.config

@@ -247,6 +247,71 @@ def test_cli_inpaint_from_converted_checkpoint(converted, tmp_path):
     assert rc == 0 and out.exists() and out.stat().st_size > 0
 
 
+def test_ip_adapter_convert_and_attach(converted, tmp_path):
+    """--ip-adapter conversion writes {proj, blocks}; attach_ip_adapter must
+    merge the CONVERTED blocks into the resident flux params (regression:
+    the blocks component used to be ignored -> random/zero adapter)."""
+    from safetensors.numpy import save_file
+
+    from reptext_tpu.configs import (
+        CLIPConfig, CLIPVisionConfig, ControlNetConfig, FluxConfig,
+        IPAdapterConfig, PipelineConfig, T5Config, VAEConfig,
+    )
+    from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    flux = converted["cfgs"][0]
+    d, cd, ed, nt = flux.inner_dim, flux.joint_attention_dim, 32, 2
+    r = np.random.default_rng(11)
+    state = {
+        "image_proj.proj.weight": r.standard_normal((nt * cd, ed)).astype(np.float32),
+        "image_proj.proj.bias": np.zeros((nt * cd,), np.float32),
+        "image_proj.norm.weight": np.ones((cd,), np.float32),
+        "image_proj.norm.bias": np.zeros((cd,), np.float32),
+    }
+    for i in range(flux.num_layers):
+        for nm in ("to_k_ip", "to_v_ip"):
+            state[f"ip_adapter.{i}.{nm}.weight"] = (
+                r.standard_normal((d, cd)).astype(np.float32))
+            state[f"ip_adapter.{i}.{nm}.bias"] = (
+                r.standard_normal((d,)).astype(np.float32))
+    ip_path = str(tmp_path / "ip.safetensors")
+    save_file(state, ip_path)
+
+    out = str(tmp_path / "out_ip")
+    rc = convert_cli.main([
+        "--flux-dir", os.path.join(converted["pipe_dir"], "transformer"),
+        "--ip-adapter", ip_path, "--out", out,
+    ])
+    assert rc == 0
+    ip_params = load_pipeline_params(
+        os.path.join(out, "ip_adapter"),
+        components=("vision", "proj", "blocks", "flux"),
+    )
+    assert set(ip_params) == {"proj", "blocks"}
+
+    pipe = FluxRepTextPipeline.create(
+        flux_cfg=flux,
+        cn_cfg=dataclasses.replace(converted["cfgs"][1], num_mode=None),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=64, width=64, num_inference_steps=2),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+    )
+    pipe.attach_ip_adapter(
+        vision_cfg=CLIPVisionConfig().tiny(), ip_cfg=IPAdapterConfig().tiny(),
+        params=ip_params,
+    )
+    blk = pipe.params["flux"]["params"]["double_blocks"]["block"]
+    # to_v_ip is RoPE-untouched: converted kernel == stacked weight^T exactly
+    want_v = np.stack([state[f"ip_adapter.{i}.to_v_ip.weight"].T
+                       for i in range(flux.num_layers)])
+    np.testing.assert_allclose(np.asarray(blk["to_v_ip"]["kernel"]), want_v)
+    # to_k_ip is permuted (RoPE fold) but must match the converter output
+    np.testing.assert_allclose(
+        np.asarray(blk["to_k_ip"]["kernel"]),
+        np.asarray(ip_params["blocks"]["params"]["to_k_ip"]["kernel"]),
+    )
+
+
 def test_load_saved_configs_missing_dir(tmp_path):
     assert load_saved_configs(str(tmp_path)) == {}
 
