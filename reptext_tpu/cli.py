@@ -267,6 +267,23 @@ def main(argv=None) -> int:
     else:
         pipeline = FluxRepTextPipeline.create(**create_kwargs)
 
+    # IP-Adapter attach must precede fp8 quantization (the adapter kernels
+    # join the double-block stack and are quantized with it)
+    if (args.mode == "serve" and args.ip_adapter_dir is not None) or (
+            args.mode == "txt2img" and args.ip_adapter_image):
+        from reptext_tpu.configs import CLIPVisionConfig
+        ip_params = None
+        if args.ip_adapter_dir:
+            from reptext_tpu.io.checkpoint import load_pipeline_params as _lpp
+            ip_params = _lpp(args.ip_adapter_dir,
+                             components=("vision", "proj", "blocks", "flux"))
+        pipeline.attach_ip_adapter(
+            vision_cfg=saved_cfgs.get(
+                "clip_vision",
+                CLIPVisionConfig().tiny() if args.tiny else CLIPVisionConfig()),
+            params=ip_params,
+        )
+
     if args.weight_dtype == "fp8":
         pipeline.quantize_weights()
 
@@ -292,19 +309,6 @@ def main(argv=None) -> int:
     if serve:
         from reptext_tpu.serving import GenerationServer
 
-        if args.mode == "serve" and args.ip_adapter_dir is not None:
-            # image-prompt requests (ip_image_png_base64) need the adapter
-            # resident before the worker compiles its sampler graphs
-            from reptext_tpu.configs import CLIPVisionConfig
-            from reptext_tpu.io.checkpoint import load_pipeline_params as _lpp
-
-            pipeline.attach_ip_adapter(
-                vision_cfg=(CLIPVisionConfig().tiny() if args.tiny
-                            else CLIPVisionConfig()),
-                params=_lpp(args.ip_adapter_dir,
-                            components=("vision", "proj", "blocks", "flux")),
-            )
-
         def tokenizer(prompt):
             return _tokenize(prompt, clip_cfg, t5_cfg, args.checkpoint_dir)
 
@@ -314,7 +318,9 @@ def main(argv=None) -> int:
 
             from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
             inpaint_pipeline = FluxRepTextInpaintPipeline.create_inpaint(
-                inpaint_cn_cfg=_dc.replace(cn_cfg, extra_condition_channels=4),
+                inpaint_cn_cfg=saved_cfgs.get(
+                    "inpaint_controlnet",
+                    _dc.replace(cn_cfg, extra_condition_channels=4)),
                 **create_kwargs,
             )
             if mesh is not None:
@@ -368,21 +374,9 @@ def main(argv=None) -> int:
     else:
         gen_kwargs = {}
         if args.ip_adapter_image:
+            # adapter already attached (before quantization) in main flow
             from PIL import Image as PILImage
 
-            from reptext_tpu.configs import CLIPVisionConfig
-
-            ip_params = None
-            if args.ip_adapter_dir:
-                from reptext_tpu.io.checkpoint import load_pipeline_params
-
-                ip_params = load_pipeline_params(
-                    args.ip_adapter_dir, components=("vision", "proj", "blocks", "flux"))
-            pipeline.attach_ip_adapter(
-                vision_cfg=(CLIPVisionConfig().tiny() if args.tiny
-                            else CLIPVisionConfig()),
-                params=ip_params,
-            )
             gen_kwargs = {
                 "ip_adapter_image": np.asarray(
                     PILImage.open(args.ip_adapter_image).convert("RGB"),

@@ -247,6 +247,14 @@ class FluxRepTextPipeline:
         from reptext_tpu.configs import CLIPVisionConfig, IPAdapterConfig
         from reptext_tpu.models.ip_adapter import IPAdapterEncoder
 
+        if getattr(self.flux, "weight_quant", False):
+            # grafting dense adapter kernels into an fp8-quantized block
+            # stack would mix storage formats inside one scan collection
+            raise ValueError(
+                "attach_ip_adapter() must run BEFORE quantize_weights(); "
+                "attach first, then quantize (the adapter kernels are then "
+                "quantized with the rest of the double-block stack)"
+            )
         if vision_cfg is None:
             vision_cfg = CLIPVisionConfig()
         if ip_cfg is None:
