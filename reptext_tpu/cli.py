@@ -293,15 +293,27 @@ def main(argv=None) -> int:
 
         from reptext_tpu.parallel import make_mesh
 
-        if args.shard == "auto":
-            dp, tp = 1, len(_jax.devices())
+        spec = args.shard.lower()
+        if spec.startswith("sp"):
+            # sequence parallelism: tokens sharded, params replicated —
+            # the >=2048^2 long-context path (parallel/sequence.py)
+            if inpaint:
+                parser.error("--shard spN is txt2img/serve only")
+            from reptext_tpu.parallel import make_sp_mesh
+
+            n = int(spec[2:]) if spec[2:] else len(_jax.devices())
+            pipeline.shard_for_sp(make_sp_mesh(n))
         else:
-            try:
-                dp, tp = (int(x) for x in args.shard.lower().split("x"))
-            except ValueError:
-                parser.error("--shard expects DPxTP (e.g. 2x4) or 'auto'")
-        mesh = make_mesh(dp=dp, tp=tp)
-        pipeline.shard_for_inference(mesh)
+            if spec == "auto":
+                dp, tp = 1, len(_jax.devices())
+            else:
+                try:
+                    dp, tp = (int(x) for x in spec.split("x"))
+                except ValueError:
+                    parser.error("--shard expects DPxTP (e.g. 2x4), spN "
+                                 "(e.g. sp8), or 'auto'")
+            mesh = make_mesh(dp=dp, tp=tp)
+            pipeline.shard_for_inference(mesh)
 
     if args.mode == "train":
         return _train(args, pipeline)

@@ -194,6 +194,41 @@ class FluxRepTextPipeline:
                 )
         return self
 
+    def shard_for_sp(self, mesh=None, axis_name: str = "sp") -> "FluxRepTextPipeline":
+        """Sequence-parallel inference: the fused denoise scan runs under one
+        shard_map with the image-token axis sharded over ``axis_name``.
+
+        Rebuilds both models with ``attention_backend='ring'`` (per-block K/V
+        ppermute ring is the only communication — parallel/sequence.py) and
+        switches ``_get_sampler`` to ``make_sp_txt2img_sampler``. This is the
+        >=2048^2 growth path: tokens scale with resolution^2, so sharding the
+        sequence (not the weights) keeps per-chip attention memory flat.
+        Params stay replicated. Parity scenario:
+        tests/mesh_scenarios.py::check_sp_pipeline. Returns self.
+        """
+        from reptext_tpu.parallel import make_sp_mesh
+
+        if getattr(self, "ip_encoder", None) is not None:
+            raise ValueError("sequence-parallel sampling does not support an "
+                             "attached IP-Adapter")
+        import jax
+
+        if mesh is None:
+            mesh = make_sp_mesh(len(jax.devices()))
+        n = mesh.devices.size
+        s_img = self.pipe_cfg.image_seq_len
+        if s_img % n:
+            raise ValueError(
+                f"image sequence ({s_img} tokens) must divide the sp axis ({n})"
+            )
+        self.sp_mesh, self.sp_axis = mesh, axis_name
+        self.flux = self.flux.clone(attention_backend="ring")
+        self.controlnet = self.controlnet.clone(attention_backend="ring")
+        for attr in ("_samplers", "_raw_samplers", "_chunk_samplers"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
+
     # ---------------------------------------------------------- quantization
 
     def quantize_weights(self) -> "FluxRepTextPipeline":
@@ -715,9 +750,17 @@ class FluxRepTextPipeline:
                     conditioning_scale=scale, **kw,
                 )
 
-            sample = make_txt2img_sampler(
-                flux_apply, cn_apply, schedule, cfg, self.compute_dtype
-            )
+            if getattr(self, "sp_mesh", None) is not None:
+                from reptext_tpu.sampling.sampler import make_sp_txt2img_sampler
+
+                sample = make_sp_txt2img_sampler(
+                    flux_apply, cn_apply, schedule, cfg, self.sp_mesh,
+                    self.sp_axis, self.compute_dtype,
+                )
+            else:
+                sample = make_txt2img_sampler(
+                    flux_apply, cn_apply, schedule, cfg, self.compute_dtype
+                )
             self._raw_samplers[steps] = sample
             self._samplers[steps] = jax.jit(sample)
         return self._samplers[steps]
@@ -728,6 +771,11 @@ class FluxRepTextPipeline:
             self._chunk_samplers = {}
         key = (steps, chunk_len)
         if key not in self._chunk_samplers:
+            if getattr(self, "sp_mesh", None) is not None:
+                raise NotImplementedError(
+                    "callback/img2img chunked sampling is not supported under "
+                    "the sequence-parallel sampler"
+                )
             self._get_sampler(steps)
             chunked = self._raw_samplers[steps].chunked
             self._chunk_samplers[key] = jax.jit(

@@ -283,7 +283,14 @@ def make_sp_txt2img_sampler(
     def sample(
         flux_params, cn_params, latents, cond_tokens, token_masks,
         prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+        flux_extra=None,
     ):
+        if flux_extra is not None:
+            raise NotImplementedError(
+                "IP-Adapter image prompts are not supported under the "
+                "sequence-parallel sampler (image tokens are replicated "
+                "per shard; use the dp x tp path)"
+            )
         cond_spec = tok if cond_tokens.ndim == 3 else P(None, None, axis_name, None)
         mask_spec = tok if token_masks.ndim == 3 else P(None, None, axis_name, None)
         return jax.shard_map(

@@ -267,6 +267,36 @@ def check_sp_sampler():
     print("sp fused-sampler parity OK (whole denoise scan sequence-sharded)")
 
 
+def check_sp_pipeline():
+    """PIPELINE-LEVEL sequence parallelism: FluxRepTextPipeline.shard_for_sp
+    switches the cached sampler to the shard_map SP variant; generated
+    latents must match the unsharded pipeline."""
+    from reptext_tpu.configs import (
+        CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config,
+        VAEConfig,
+    )
+    from reptext_tpu.conditioning import TextLine, build_conditions
+    from reptext_tpu.parallel import make_sp_mesh
+    from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    pipe = FluxRepTextPipeline.create(
+        flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=64, width=64, num_inference_steps=2,
+                                controlnet_conditioning_step=1),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+    )
+    conds = build_conditions([TextLine("Hi", (8, 16), font_size=24)], 64, 64)
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    kw = dict(clip_ids=clip_ids, t5_ids=t5_ids, seed=7, output_type="latent")
+    want = np.asarray(pipe(conds, **kw))
+    pipe.shard_for_sp(make_sp_mesh(8))
+    got = np.asarray(pipe(conds, **kw))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    print("pipeline-level SP parity OK (shard_for_sp sampler)")
+
+
 def check_sharded_cn_train_step(parity: bool = True):
     """ControlNet training (frozen base) under dp=2 x tp=4: sharded loss and
     updated params match the single-device step (the cli.py --mode train
@@ -359,6 +389,7 @@ def main():
     check_sp_model_forward()
     check_sp_sampler()
     check_pipeline_tp_inference()
+    check_sp_pipeline()
     check_sharded_cn_train_step()
     print("ALL MESH SCENARIOS OK")
 
