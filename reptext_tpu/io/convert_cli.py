@@ -232,6 +232,14 @@ def main(argv=None) -> int:
     parser.add_argument("--vae-dir", default=None)
     parser.add_argument("--clip-dir", default=None)
     parser.add_argument("--t5-dir", default=None)
+    parser.add_argument("--lora", action="append", default=None, metavar="PATH",
+                        help="LoRA safetensors (diffusers FLUX naming) baked "
+                             "into the converted transformer; repeatable. "
+                             "Alternative to the driver's load-time --lora "
+                             "(bake once for serving fleets)")
+    parser.add_argument("--lora-scale", action="append", type=float,
+                        default=None, metavar="S",
+                        help="merge scale per --lora (default 1.0 each)")
     parser.add_argument("--dtype", choices=sorted(_STORAGE_DTYPES),
                         default="keep",
                         help="storage dtype of saved params: keep = as stored "
@@ -275,6 +283,9 @@ def main(argv=None) -> int:
     if not plan and not args.ip_adapter:
         parser.error("nothing to convert: pass --pipeline-dir and/or "
                      "--controlnet-dir / component overrides")
+    if args.lora and not any(entry[0] == "flux" for entry in plan):
+        parser.error("--lora requires a transformer source "
+                     "(--pipeline-dir or --flux-dir)")
 
     dtype = _storage_dtype(args.dtype)
     out = os.path.abspath(args.out)
@@ -294,6 +305,19 @@ def main(argv=None) -> int:
         n_params = sum(int(np.prod(v.shape)) for v in state.values())
         tree = conv_fn(state, cfg)
         del state
+        if name == "flux" and args.lora:
+            from reptext_tpu.io.lora import apply_lora
+
+            scales = list(args.lora_scale or [])
+            if len(scales) > len(args.lora):
+                parser.error("more --lora-scale values than --lora paths")
+            scales += [1.0] * (len(args.lora) - len(scales))
+            for lp, sc in zip(args.lora, scales):
+                tree = apply_lora(
+                    tree, C.load_safetensors_state(lp, dtype=None),
+                    scale=sc, head_dim=cfg.attention_head_dim,
+                )
+                print(f"[flux] baked LoRA {lp} (scale {sc})")
         if dtype is not None:
             tree = _cast_tree(tree, dtype)
         ckptr.save(os.path.join(out, name), tree)

@@ -312,6 +312,36 @@ def test_ip_adapter_convert_and_attach(converted, tmp_path):
     )
 
 
+def test_lora_bake_at_conversion(converted, tmp_path):
+    """convert_cli --lora merges W += scale*(B@A)^T into the saved tree."""
+    from safetensors.numpy import save_file
+
+    flux = converted["cfgs"][0]
+    r = np.random.default_rng(5)
+    rank, d = 2, flux.inner_dim
+    a = r.standard_normal((rank, flux.in_channels)).astype(np.float32)
+    b = r.standard_normal((d, rank)).astype(np.float32)
+    lora_path = str(tmp_path / "lora.safetensors")
+    save_file({"transformer.x_embedder.lora_A.weight": a,
+               "transformer.x_embedder.lora_B.weight": b}, lora_path)
+    out = str(tmp_path / "baked")
+    rc = convert_cli.main([
+        "--flux-dir", os.path.join(converted["pipe_dir"], "transformer"),
+        "--lora", lora_path, "--lora-scale", "0.5", "--out", out,
+    ])
+    assert rc == 0
+    baked = load_pipeline_params(out, components=("flux",))["flux"]
+    plain = load_pipeline_params(converted["out"], components=("flux",))["flux"]
+    got = np.asarray(baked["params"]["x_embedder"]["kernel"])
+    want = (np.asarray(plain["params"]["x_embedder"]["kernel"])
+            + 0.5 * (b @ a).T)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(SystemExit):   # --lora without a transformer source
+        convert_cli.main(["--controlnet-dir", converted["cn_dir"],
+                          "--lora", lora_path, "--out", str(tmp_path / "x")])
+
+
 def test_load_saved_configs_missing_dir(tmp_path):
     assert load_saved_configs(str(tmp_path)) == {}
 
