@@ -111,9 +111,16 @@ class DiskImageTextDataset(GlyphTextDataset):
     # ------------------------------------------------------------ indexing
 
     def _epoch_perm(self, epoch: int) -> Sequence[int]:
-        order = list(range(len(self.records)))
-        random.Random((self.seed << 20) ^ epoch).shuffle(order)
-        return order
+        # memoize the current epoch's permutation (training walks epochs
+        # monotonically; batches straddling an epoch boundary keep both)
+        cached = getattr(self, "_perm_cache", {})
+        if epoch not in cached:
+            order = list(range(len(self.records)))
+            random.Random((self.seed << 20) ^ epoch).shuffle(order)
+            cached = {k: v for k, v in cached.items() if k >= epoch - 1}
+            cached[epoch] = order
+            self._perm_cache = cached
+        return cached[epoch]
 
     def sample_spec(self, step: int, index: int) -> Dict:
         k = step * self.batch_size + index
