@@ -86,6 +86,13 @@ def main(argv=None) -> int:
                              "(POST /generate with mode=inpaint)")
     parser.add_argument("--image", default=None,
                         help="inpaint: input image path (resized to x64 dims)")
+    parser.add_argument("--init-image", default=None, metavar="PATH",
+                        help="txt2img: img2img init image (paired with "
+                             "--strength; noise blended at the matching "
+                             "schedule point)")
+    parser.add_argument("--strength", type=float, default=1.0,
+                        help="img2img denoise strength in (0, 1]; 1.0 = pure "
+                             "txt2img")
     parser.add_argument("--mask", default=None,
                         help="inpaint: white-on-black mask image path")
     parser.add_argument("--negative-prompt", default=None,
@@ -395,6 +402,13 @@ def main(argv=None) -> int:
                     np.uint8),
                 "ip_adapter_scale": args.ip_adapter_scale,
             }
+        if args.init_image:
+            from PIL import Image as PILImage2
+
+            init = PILImage2.open(args.init_image).convert("RGB").resize(
+                (width, height))
+            gen_kwargs["init_image"] = np.asarray(init, np.uint8)[None]
+            gen_kwargs["strength"] = args.strength
         images = pipeline(
             conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=args.seed,
             **gen_kwargs,
