@@ -190,10 +190,26 @@ def precompute_batch(pipe: FluxRepTextPipeline, samples: List[Dict]) -> Dict:
     b = len(samples)
     guidance = (jnp.full((b,), cfg.guidance_scale, jnp.float32)
                 if pipe.flux.config.guidance_embeds else None)
+    from reptext_tpu.eval.ocr import CHAR_TO_ID, MAX_LABEL
+    from reptext_tpu.sampling.ocr_loss import aspect_box, glyph_ink_bbox
+
+    ocr_boxes = np.zeros((b, 4), np.float32)
+    ocr_labels = np.zeros((b, MAX_LABEL), np.int32)
+    ocr_paddings = np.ones((b, MAX_LABEL), np.float32)
+    for i, s in enumerate(samples):
+        bbox = glyph_ink_bbox(s["conds"].glyph_canvas)
+        ocr_boxes[i] = (aspect_box(bbox, cfg.height, cfg.width) if bbox
+                        else np.asarray([0, 0, 1, 1], np.float32))
+        ids = [CHAR_TO_ID[c] for c in s["text"].upper() if c in CHAR_TO_ID][:MAX_LABEL]
+        ocr_labels[i, : len(ids)] = ids
+        ocr_paddings[i, : len(ids)] = 0.0
     return {
         "x0": jnp.stack(x0_l),
         "cond_tokens": jnp.stack(cond_l),
         "token_mask": jnp.stack(mask_l),
+        "ocr_boxes": jnp.asarray(ocr_boxes),
+        "ocr_labels": jnp.asarray(ocr_labels),
+        "ocr_paddings": jnp.asarray(ocr_paddings),
         "prompt_embeds": jnp.broadcast_to(
             prompt_embeds, (b,) + prompt_embeds.shape[1:]),
         "pooled": jnp.broadcast_to(pooled, (b,) + pooled.shape[1:]),
@@ -205,8 +221,12 @@ def precompute_batch(pipe: FluxRepTextPipeline, samples: List[Dict]) -> Dict:
 
 
 def train_flow(pipe: FluxRepTextPipeline, batch: Dict, steps: int,
-               lr: float = 2e-3, seed: int = 1) -> Dict:
-    """Jointly train flux + controlnet to overfit the fixed batch."""
+               lr: float = 2e-3, seed: int = 1,
+               ocr_loss_weight: float = 0.0, judge_params=None) -> Dict:
+    """Jointly train flux + controlnet to overfit the fixed batch.
+
+    ocr_loss_weight > 0 adds the in-graph OCR CTC text-perceptual term
+    (sampling/ocr_loss.py) through the FROZEN already-trained VAE decoder."""
     flux, cn = pipe.flux, pipe.controlnet
 
     def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
@@ -221,14 +241,31 @@ def train_flow(pipe: FluxRepTextPipeline, batch: Dict, steps: int,
     tx = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05))
     params = {"flux": pipe.params["flux"], "controlnet": pipe.params["controlnet"]}
     opt_state = tx.init(params)
+    perceptual, frozen = None, ()
+    if ocr_loss_weight > 0.0:
+        from reptext_tpu.ops.latents import unpack_latents
+
+        cfg = pipe.pipe_cfg
+        vcfg = pipe.vae.config
+
+        def decode_apply(vae_params, x0_packed):
+            lat = unpack_latents(x0_packed, cfg.latent_height, cfg.latent_width)
+            lat = lat / vcfg.scaling_factor + vcfg.shift_factor
+            return pipe.vae.apply(vae_params, lat.transpose(0, 2, 3, 1),
+                                  method="decode")
+
+        perceptual = {"decode_apply": decode_apply, "judge_apply": None,
+                      "weight": ocr_loss_weight}
+        frozen = (pipe.params["vae"], judge_params)
     step = jax.jit(make_joint_train_step(flux_apply, cn_apply, tx,
-                                         text_loss_weight=2.0))
+                                         text_loss_weight=2.0,
+                                         perceptual=perceptual))
     tbatch = {k: v for k, v in batch.items() if k not in ("clip_ids", "t5_ids")}
     rng = jax.random.PRNGKey(seed)
     loss = jnp.inf
     for i in range(steps):
         rng, r = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, tbatch, r)
+        params, opt_state, loss = step(params, opt_state, tbatch, r, *frozen)
         if i % 500 == 0 or i == steps - 1:
             print(f"flow step {i}: loss={float(loss):.5f}", flush=True)
     return params
@@ -267,6 +304,12 @@ def main(argv=None) -> int:
     ap.add_argument("--steps-vae", type=int, default=2500)
     ap.add_argument("--steps-flux", type=int, default=6000)
     ap.add_argument("--steps-sample", type=int, default=20)
+    ap.add_argument("--train-seed", type=int, default=1,
+                    help="flow-training PRNG seed (A/B replication)")
+    ap.add_argument("--ocr-loss-weight", type=float, default=0.0,
+                    help="in-graph OCR CTC perceptual term during joint "
+                         "training (A/B: compare char accuracy at equal, "
+                         "sub-saturation step counts)")
     ap.add_argument("--size", type=int, default=SIZE)
     ap.add_argument("--output", default="benchmarks/overfit_e2e.json")
     ap.add_argument("--params-cache", default=None,
@@ -321,7 +364,15 @@ def main(argv=None) -> int:
 
         print(f"[3/4] joint FLUX+CN training ({args.steps_flux} steps)...",
               flush=True)
-        trained = train_flow(pipe, batch, args.steps_flux)
+        judge_params = None
+        if args.ocr_loss_weight > 0.0:
+            from reptext_tpu.eval.ocr import load_judge
+
+            judge_params = load_judge()
+        trained = train_flow(pipe, batch, args.steps_flux,
+                             seed=args.train_seed,
+                             ocr_loss_weight=args.ocr_loss_weight,
+                             judge_params=judge_params)
         if args.params_cache:
             save_pipeline_params(
                 {"vae": pipe.params["vae"], **trained}, args.params_cache
@@ -349,6 +400,8 @@ def main(argv=None) -> int:
         "vae_recon_psnr_db": round(psnr, 2),
         "train_steps_vae": args.steps_vae,
         "train_steps_flux": args.steps_flux,
+        "ocr_loss_weight": args.ocr_loss_weight,
+        "train_seed": args.train_seed,
         "char_accuracy_trained": round(res_trained["char_accuracy"], 4),
         "char_accuracy_random": round(res_random["char_accuracy"], 4),
         "mean_edge_iou_trained": round(res_trained["mean_edge_iou"], 4),
