@@ -27,6 +27,12 @@ crops.
 
 Timestep weighting: at t→1 the model predicts x0 from (almost) pure noise and
 a legibility penalty is uninformative, so per-sample CTC is ramped by (1−t).
+
+Measured calibration (benchmarks/ocr_loss_ab.json): on the tiny overfit
+MEMORIZATION demo the term is negative-to-neutral (mean char-acc −0.048 over
+3 seed pairs at weight 0.3) — the velocity loss already saturates glyph
+shape there. It is opt-in (default 0); its intended regime is large-corpus
+generalization training, where pixel velocity underdetermines legibility.
 """
 
 from __future__ import annotations
