@@ -66,6 +66,10 @@ class FluxRepTextPipeline:
     clip: Optional[CLIPTextEncoder] = None
     t5: Optional[T5Encoder] = None
     compute_dtype: Any = jnp.float32
+    # sequence-parallel state (shard_for_sp) — dataclass FIELDS so
+    # with_resolution views (serving resolution buckets) inherit them
+    sp_mesh: Any = None
+    sp_axis: str = "sp"
 
     # ---------------------------------------------------------------- build
 

@@ -294,7 +294,15 @@ def check_sp_pipeline():
     pipe.shard_for_sp(make_sp_mesh(8))
     got = np.asarray(pipe(conds, **kw))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
-    print("pipeline-level SP parity OK (shard_for_sp sampler)")
+
+    # resolution views (serving buckets) must inherit the SP state: sp_mesh
+    # is a dataclass field, so with_resolution keeps the SP sampler
+    view = pipe.with_resolution(128, 128)
+    assert view.sp_mesh is pipe.sp_mesh and view.sp_axis == pipe.sp_axis
+    conds128 = build_conditions([TextLine("Hi", (16, 32), font_size=40)], 128, 128)
+    lat = np.asarray(view(conds128, **kw))
+    assert np.isfinite(lat).all()
+    print("pipeline-level SP parity OK (shard_for_sp sampler + resolution view)")
 
 
 def check_sharded_cn_train_step(parity: bool = True):
