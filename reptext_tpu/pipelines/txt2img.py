@@ -70,6 +70,9 @@ class FluxRepTextPipeline:
     # with_resolution views (serving resolution buckets) inherit them
     sp_mesh: Any = None
     sp_axis: str = "sp"
+    # IP-Adapter image encoder (attach_ip_adapter) — a field for the same
+    # reason: image-prompt requests must work on resolution views
+    ip_encoder: Any = None
 
     # ---------------------------------------------------------------- build
 

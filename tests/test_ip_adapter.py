@@ -365,6 +365,12 @@ def test_pipeline_ip_adapter_smoke():
     img_without = pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=3)
     np.testing.assert_array_equal(img_with, img_without)
 
+    # resolution views (serving buckets) inherit the attached adapter —
+    # ip_encoder is a dataclass field, not an ad-hoc attribute
+    view = pipe.with_resolution(128, 128)
+    assert view.ip_encoder is pipe.ip_encoder
+    assert view.flux.ip_adapter
+
 
 # ------------------------------------------------ WHOLE-model ip torch parity
 
