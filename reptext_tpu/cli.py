@@ -234,12 +234,24 @@ def main(argv=None) -> int:
     elif not args.random_weights:
         parser.error("pass --checkpoint-dir or --random-weights")
 
+    pre_quantized = False
+    if params is not None and "flux" in params:
+        # fp8-STORED checkpoints (convert_cli --dtype fp8) are detected from
+        # the tree itself; the models must run weight_quant or apply fails
+        from reptext_tpu.io.quantize import is_quantized
+
+        pre_quantized = is_quantized(params["flux"])
+
     if args.lora:
         # inference-time LoRA as ahead-of-time weight surgery (reference uses
         # diffusers PEFT layers, RepText/pipeline_flux_controlnet.py:394-403;
         # merging keeps the sampler graph LoRA-free = zero runtime overhead)
         if params is None or "flux" not in params:
             parser.error("--lora requires --checkpoint-dir with a flux component")
+        if pre_quantized:
+            parser.error("--lora cannot merge into an fp8-stored checkpoint; "
+                         "bake it at conversion time (convert_cli --lora) or "
+                         "convert with --dtype keep/bf16")
         from reptext_tpu.io.convert import load_safetensors_state
         from reptext_tpu.io.lora import apply_lora
 
@@ -291,7 +303,13 @@ def main(argv=None) -> int:
             params=ip_params,
         )
 
-    if args.weight_dtype == "fp8":
+    if args.mode == "train" and (args.weight_dtype == "fp8" or pre_quantized):
+        parser.error("training needs dense weights: convert with --dtype "
+                     "keep/bf16 and drop --weight-dtype fp8")
+    if args.weight_dtype == "fp8" or pre_quantized:
+        # pre-quantized storage: quantize_params is idempotent, so this only
+        # re-quantizes freshly-attached dense adapter kernels (if any) and
+        # switches the models to weight_quant
         pipeline.quantize_weights()
 
     mesh = None

@@ -176,11 +176,11 @@ def _cast_tree(tree: Any, dtype) -> Any:
     return jax.tree_util.tree_map(cast, tree)
 
 
-_STORAGE_DTYPES = {"keep": None, "bf16": "bfloat16", "fp32": "float32"}
+_STORAGE_DTYPES = {"keep": None, "bf16": "bfloat16", "fp32": "float32", "fp8": "fp8"}
 
 
 def _storage_dtype(name: str):
-    if name == "keep":
+    if name in ("keep", "fp8"):   # fp8 handled per-component in main()
         return None
     if name == "fp32":
         return np.float32
@@ -243,8 +243,11 @@ def main(argv=None) -> int:
     parser.add_argument("--dtype", choices=sorted(_STORAGE_DTYPES),
                         default="keep",
                         help="storage dtype of saved params: keep = as stored "
-                             "in the checkpoint (FLUX publishes bf16), or "
-                             "force bf16/fp32")
+                             "in the checkpoint (FLUX publishes bf16), "
+                             "bf16/fp32 = force-cast, fp8 = weight-only "
+                             "fp8-e4m3 block stacks + bf16 rest (half the "
+                             "disk/HBM; drivers auto-detect and run "
+                             "weight_quant — io/quantize.py)")
     parser.add_argument("--out", required=True,
                         help="output directory (becomes --checkpoint-dir)")
     args = parser.parse_args(argv)
@@ -318,6 +321,16 @@ def main(argv=None) -> int:
                     scale=sc, head_dim=cfg.attention_head_dim,
                 )
                 print(f"[flux] baked LoRA {lp} (scale {sc})")
+        if args.dtype == "fp8":
+            # after any LoRA bake: deltas must merge into dense weights
+            import ml_dtypes
+
+            from reptext_tpu.io.quantize import quantize_params
+
+            tree = _cast_tree(tree, ml_dtypes.bfloat16)
+            if name in ("flux", "controlnet", "inpaint_controlnet"):
+                tree = dict(tree)
+                tree["params"] = quantize_params(tree["params"])
         if dtype is not None:
             tree = _cast_tree(tree, dtype)
         ckptr.save(os.path.join(out, name), tree)
@@ -337,6 +350,11 @@ def main(argv=None) -> int:
             n_layers = flux_config_from_hf(_read_config(flux_dir)).num_layers
         if n_layers is None:
             n_layers = FluxConfig().num_layers
+        if args.dtype == "fp8":
+            import ml_dtypes
+
+            dtype = ml_dtypes.bfloat16    # adapter merges at attach; the
+            # driver re-quantizes the whole stack afterwards
         state = C.load_safetensors_state(args.ip_adapter, dtype=None)
         head_dim = (flux_meta or {}).get("attention_head_dim",
                                          FluxConfig().attention_head_dim)

@@ -239,3 +239,19 @@ def quantized_bytes(params: Dict[str, Any]) -> Tuple[int, int]:
         stored += n * jnp.asarray(leaf).dtype.itemsize
         bf16 += n * 2
     return stored, bf16
+
+
+def is_quantized(tree: Any) -> bool:
+    """True if any dict level of ``tree`` carries the fp8 storage pair.
+
+    Used by drivers to auto-detect fp8-STORED checkpoints
+    (io/convert_cli.py --dtype fp8) and switch the models to weight_quant
+    without an explicit flag — loading quantized storage into dense models
+    would otherwise fail at apply time.
+    """
+    tree = _to_plain(tree)
+    if not isinstance(tree, dict):
+        return False
+    if QUANT_KEY in tree:
+        return True
+    return any(is_quantized(v) for v in tree.values() if isinstance(v, dict))

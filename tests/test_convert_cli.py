@@ -342,6 +342,76 @@ def test_lora_bake_at_conversion(converted, tmp_path):
                           "--lora", lora_path, "--out", str(tmp_path / "x")])
 
 
+def test_fp8_storage_matches_load_time_quantization(converted, tmp_path):
+    """--dtype fp8 stores exactly what quantize_params produces from the
+    bf16-cast weights — storage-time and load-time quantization agree
+    bitwise."""
+    import ml_dtypes
+
+    from reptext_tpu.io.convert_cli import _cast_tree
+    from reptext_tpu.io.quantize import QUANT_KEY, SCALE_KEY, is_quantized, quantize_params
+
+    out = str(tmp_path / "fp8")
+    rc = convert_cli.main([
+        "--flux-dir", os.path.join(converted["pipe_dir"], "transformer"),
+        "--dtype", "fp8", "--out", out,
+    ])
+    assert rc == 0
+    stored = load_pipeline_params(out, components=("flux",))["flux"]
+    assert is_quantized(stored)
+    blk = stored["params"]["double_blocks"]["block"]["to_q"]
+    assert set(blk) == {QUANT_KEY, SCALE_KEY, "bias"}
+    assert np.asarray(blk[QUANT_KEY]).dtype == np.dtype(ml_dtypes.float8_e4m3fn)
+    assert np.asarray(blk[SCALE_KEY]).dtype == np.dtype(ml_dtypes.bfloat16)
+    # embedders outside the block stacks stay dense bf16
+    emb = stored["params"]["x_embedder"]["kernel"]
+    assert np.asarray(emb).dtype == np.dtype(ml_dtypes.bfloat16)
+
+    plain = load_pipeline_params(converted["out"], components=("flux",))["flux"]
+    ref = quantize_params(_cast_tree(plain, ml_dtypes.bfloat16)["params"])
+    ref_blk = ref["double_blocks"]["block"]["to_q"]
+    np.testing.assert_array_equal(
+        np.asarray(blk[QUANT_KEY]).view(np.uint8),
+        np.asarray(ref_blk[QUANT_KEY]).view(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(blk[SCALE_KEY]).view(np.uint16),
+        np.asarray(ref_blk[SCALE_KEY]).view(np.uint16))
+
+
+@pytest.mark.slow
+def test_cli_generation_from_fp8_checkpoint_autodetect(converted, tmp_path):
+    """An fp8-STORED checkpoint runs without any flag: the driver detects
+    quantized storage and switches the models to weight_quant."""
+    import shutil
+
+    from reptext_tpu.cli import main
+
+    out = str(tmp_path / "fp8full")
+    rc = convert_cli.main([
+        "--pipeline-dir", converted["pipe_dir"],
+        "--controlnet-dir", converted["cn_dir"],
+        "--dtype", "fp8", "--out", out,
+    ])
+    assert rc == 0
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copytree(out, ckpt, ignore=shutil.ignore_patterns("tokenizer*"))
+    png = tmp_path / "out.png"
+    rc = main([
+        "--text", "Hi", "--position", "8", "16",
+        "--checkpoint-dir", ckpt, "--controlnet-mode", "3",
+        "--size", "64", "--steps", "2", "--controlnet-step", "1",
+        "--font-size", "24", "--output", str(png),
+    ])
+    assert rc == 0 and png.exists() and png.stat().st_size > 0
+
+    with pytest.raises(SystemExit):   # LoRA cannot merge into fp8 storage
+        main(["--text", "a", "--position", "1", "2",
+              "--checkpoint-dir", ckpt, "--lora", "/tmp/nope.safetensors"])
+    with pytest.raises(SystemExit):   # training needs dense weights
+        main(["--mode", "train", "--checkpoint-dir", ckpt,
+              "--train-steps", "1"])
+
+
 def test_load_saved_configs_missing_dir(tmp_path):
     assert load_saved_configs(str(tmp_path)) == {}
 
