@@ -360,6 +360,8 @@ def main(argv=None) -> int:
                     _dc.replace(cn_cfg, extra_condition_channels=4)),
                 **create_kwargs,
             )
+            if args.weight_dtype == "fp8" or pre_quantized:
+                inpaint_pipeline.quantize_weights()
             if mesh is not None:
                 inpaint_pipeline.shard_for_inference(mesh)
 
