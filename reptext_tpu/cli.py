@@ -235,12 +235,19 @@ def main(argv=None) -> int:
         parser.error("pass --checkpoint-dir or --random-weights")
 
     pre_quantized = False
-    if params is not None and "flux" in params:
+    if params is not None:
         # fp8-STORED checkpoints (convert_cli --dtype fp8) are detected from
-        # the tree itself; the models must run weight_quant or apply fails
+        # the trees themselves; the models must run weight_quant or apply
+        # fails. Any quantized component triggers the switch --
+        # quantize_params is idempotent, so mixed-storage dirs (components
+        # converted by separate runs) are normalized by quantize_weights.
         from reptext_tpu.io.quantize import is_quantized
 
-        pre_quantized = is_quantized(params["flux"])
+        pre_quantized = any(
+            is_quantized(params[name])
+            for name in ("flux", "controlnet", "inpaint_controlnet")
+            if name in params
+        )
 
     if args.lora:
         # inference-time LoRA as ahead-of-time weight surgery (reference uses
@@ -354,13 +361,18 @@ def main(argv=None) -> int:
             import dataclasses as _dc
 
             from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
+            # share the (possibly quantized/sharded) resident trees -- a
+            # second quantization of create_kwargs' original params would
+            # put a SECOND full-size copy on device
             inpaint_pipeline = FluxRepTextInpaintPipeline.create_inpaint(
                 inpaint_cn_cfg=saved_cfgs.get(
                     "inpaint_controlnet",
                     _dc.replace(cn_cfg, extra_condition_channels=4)),
-                **create_kwargs,
+                **dict(create_kwargs, params=dict(pipeline.params)),
             )
             if args.weight_dtype == "fp8" or pre_quantized:
+                # flux/controlnet already quantized (shared); this only
+                # switches the modules and covers a dense inpaint CN
                 inpaint_pipeline.quantize_weights()
             if mesh is not None:
                 inpaint_pipeline.shard_for_inference(mesh)
@@ -422,6 +434,10 @@ def main(argv=None) -> int:
                     np.uint8),
                 "ip_adapter_scale": args.ip_adapter_scale,
             }
+        if args.init_image and args.strength >= 1.0:
+            parser.error("--init-image does nothing at --strength 1.0; pass "
+                         "--strength < 1.0 (fraction of the schedule to "
+                         "re-noise)")
         if args.init_image:
             from PIL import Image as PILImage2
 
@@ -461,17 +477,22 @@ def _train(args, pipeline) -> int:
         cn_cfg.num_layers, cn_cfg.num_single_layers,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
     )
+    # the vendored checkpoint tokenizers (when present) must be used for
+    # TRAINING prompts too -- hash-fallback ids here would train the CN on a
+    # different prompt-embedding distribution than serving uses
+    tokenize = lambda p: _tokenize(  # noqa: E731
+        p, pipeline.clip.config, pipeline.t5.config, args.checkpoint_dir)
     if args.corpus_dir:
         from reptext_tpu.data_disk import DiskImageTextDataset
 
         dataset = DiskImageTextDataset(
             pipeline, args.corpus_dir, batch_size=args.batch_size,
-            font_path=args.font, seed=args.seed,
+            font_path=args.font, seed=args.seed, tokenize=tokenize,
         )
     else:
         dataset = GlyphTextDataset(
             pipeline, batch_size=args.batch_size, font_path=args.font,
-            seed=args.seed,
+            seed=args.seed, tokenize=tokenize,
         )
 
     def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):
@@ -480,8 +501,18 @@ def _train(args, pipeline) -> int:
                                    controlnet_single_block_samples=sr)
 
     def cn_apply(p, x, cnd, ctx, pooled, t, iid, tid, g, scale):
+        kw = {}
+        if cn_cfg.union:
+            # union checkpoints need a conditioning-type index in training
+            # exactly as in sampling (models/controlnet.py mode token)
+            if args.controlnet_mode is None:
+                raise SystemExit("training a union-mode ControlNet requires "
+                                 "--controlnet-mode")
+            import jax.numpy as _jnp
+            kw["mode"] = _jnp.full((x.shape[0],), args.controlnet_mode,
+                                   _jnp.int32)
         return pipeline.controlnet.apply(p, x, cnd, ctx, pooled, t, iid, tid,
-                                         g, conditioning_scale=scale)
+                                         g, conditioning_scale=scale, **kw)
 
     perceptual, frozen_extra = None, ()
     if args.ocr_loss_weight > 0.0:
@@ -518,10 +549,17 @@ def _train(args, pipeline) -> int:
         # check_sharded_cn_train_step)
         from reptext_tpu.parallel import make_mesh, shard_batch, shard_params
 
-        if args.shard == "auto":
+        spec = args.shard.lower()
+        if spec.startswith("sp"):
+            raise SystemExit("--shard spN is an inference mode; training "
+                             "shards dp x tp (e.g. --shard 2x4)")
+        if spec == "auto":
             dp, tp = 1, len(jax.devices())
         else:
-            dp, tp = (int(x) for x in args.shard.lower().split("x"))
+            try:
+                dp, tp = (int(x) for x in spec.split("x"))
+            except ValueError:
+                raise SystemExit("--shard expects DPxTP (e.g. 2x4) or 'auto'")
         if args.batch_size % max(dp, 1) != 0:
             raise SystemExit(f"--batch-size {args.batch_size} not divisible "
                              f"by dp={dp}")

@@ -122,6 +122,18 @@ class DiskImageTextDataset(GlyphTextDataset):
             self._perm_cache = cached
         return cached[epoch]
 
+    def _image_size(self, path: str) -> Tuple[int, int]:
+        """(width, height) of the source image — header read only, memoized."""
+        cached = getattr(self, "_size_cache", None)
+        if cached is None:
+            cached = self._size_cache = {}
+        if path not in cached:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                cached[path] = im.size
+        return cached[path]
+
     def sample_spec(self, step: int, index: int) -> Dict:
         k = step * self.batch_size + index
         n = len(self.records)
@@ -133,13 +145,24 @@ class DiskImageTextDataset(GlyphTextDataset):
         ).randrange(len(lines))
         entry = lines[pick]
         cfg = self.pipe.pipe_cfg
+        path = os.path.join(self.corpus_dir, rec["image"])
+        # annotations are in ORIGINAL-image pixel coordinates; images are
+        # resized to the training resolution, so positions/font sizes must
+        # rescale identically or conditions, targets, and OCR boxes point at
+        # the wrong region of the photo
+        src_w, src_h = self._image_size(path)
+        sx, sy = cfg.width / src_w, cfg.height / src_h
+        x, y = entry["position"]
+        default_fs = max(16, int(src_h / 8))
         return {
             "text": entry["text"],
-            "position": tuple(entry["position"]),
-            "font_size": int(entry.get("font_size", max(16, cfg.height // 8))),
+            "position": (int(round(x * sx)), int(round(y * sy))),
+            "font_size": max(
+                8, int(round(float(entry.get("font_size", default_fs))
+                             * (sx + sy) / 2.0))),
             "color": tuple(entry.get("color", _DEFAULT_COLOR)),
             "prompt": rec.get("prompt", ""),
-            "image_path": os.path.join(self.corpus_dir, rec["image"]),
+            "image_path": path,
         }
 
     # ------------------------------------------------------------- images

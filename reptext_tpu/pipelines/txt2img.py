@@ -760,6 +760,16 @@ class FluxRepTextPipeline:
             if getattr(self, "sp_mesh", None) is not None:
                 from reptext_tpu.sampling.sampler import make_sp_txt2img_sampler
 
+                n_sp = self.sp_mesh.devices.size
+                if cfg.image_seq_len % n_sp:
+                    # resolution views inherit sp_mesh; validate HERE so an
+                    # incompatible serving bucket fails with a clear error,
+                    # not an opaque shard_map trace failure
+                    raise ValueError(
+                        f"image sequence ({cfg.image_seq_len} tokens at "
+                        f"{cfg.height}x{cfg.width}) must divide the sp axis "
+                        f"({n_sp})"
+                    )
                 sample = make_sp_txt2img_sampler(
                     flux_apply, cn_apply, schedule, cfg, self.sp_mesh,
                     self.sp_axis, self.compute_dtype,

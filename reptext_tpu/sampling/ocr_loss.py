@@ -128,10 +128,11 @@ def ocr_ctc_loss(
     logits = ocr_logits_from_images(images, boxes, judge_params, judge_apply)
     logit_paddings = jnp.zeros(logits.shape[:2], logits.dtype)
     per = optax.ctc_loss(logits, logit_paddings, labels, label_paddings)
-    nchar = jnp.maximum((1.0 - label_paddings).sum(axis=-1), 1.0)
-    per = per / nchar
-    if sample_weights is not None:
-        return jnp.sum(per * sample_weights) / jnp.maximum(
-            jnp.sum(sample_weights), 1e-6
-        )
-    return jnp.mean(per)
+    nchar = (1.0 - label_paddings).sum(axis=-1)
+    # samples whose text maps to NO judge charset chars (CJK, punctuation)
+    # are excluded: CTC against an empty label is -log P(all blanks), whose
+    # gradient rewards ERASING that sample's rendered text
+    valid = (nchar > 0).astype(per.dtype)
+    per = per / jnp.maximum(nchar, 1.0)
+    weights = valid if sample_weights is None else sample_weights * valid
+    return jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1e-6)

@@ -212,3 +212,24 @@ def test_disk_dataset_validation(tmp_path):
         f.write(json.dumps({"image": "x.png", "lines": []}) + "\n")
     with pytest.raises(ValueError):
         load_annotations(str(tmp_path))
+
+
+def test_disk_dataset_rescales_annotations(dataset, tmp_path):
+    """Annotation coords are original-image pixels; specs must rescale to
+    the training resolution (here 64x64 from 96h x 80w photos)."""
+    from reptext_tpu.data_disk import DiskImageTextDataset
+
+    corpus = _write_corpus(str(tmp_path), n=2)
+    ds = DiskImageTextDataset(dataset.pipe, corpus, batch_size=1, seed=0)
+    cfg = dataset.pipe.pipe_cfg
+    sx, sy = cfg.width / 80.0, cfg.height / 96.0
+    seen = set()
+    for k in range(4):
+        spec = ds.sample_spec(k, 0)
+        x, y = spec["position"]
+        # corpus positions are (4, 10) or (4, 36) in 80x96 source pixels
+        assert (x, y) in {(round(4 * sx), round(10 * sy)),
+                          (round(4 * sx), round(36 * sy))}
+        assert spec["font_size"] < 20      # 18/20 px scaled down by ~0.7
+        seen.add((x, y))
+    assert seen  # at least one line seen
