@@ -206,6 +206,7 @@ def shape_arabic(text: str) -> str:
 
 from reptext_tpu.conditioning.bidi import (  # noqa: E402
     base_direction,
+    needs_bidi,
     reorder_visual,
 )
 
@@ -218,9 +219,13 @@ def bidi_reorder(text: str, base: Optional[str] = None) -> str:
 def prepare_display_text(text: str) -> str:
     """Shape Arabic joining forms then reorder to visual order for LTR drawing.
 
-    This is what the frontend feeds to ``PIL.ImageDraw.text``; for text with no
-    Arabic content it is the identity.
+    This is what the frontend feeds to ``PIL.ImageDraw.text``; for plain LTR
+    text (no RTL characters AND no directional formatting characters) it is
+    the identity. Text with directional marks/embeddings/isolates goes
+    through the bidi pass even when it has no Arabic, both to apply the
+    explicit codes (X1-X8) and to strip the zero-width characters the
+    renderer must never draw.
     """
-    if not contains_arabic(text):
+    if not needs_bidi(text):
         return text
     return bidi_reorder(shape_arabic(text))

@@ -1,36 +1,44 @@
-"""UAX#9 bidirectional reordering (implicit levels, brackets, marks).
+"""UAX#9 bidirectional reordering (explicit levels, brackets, marks).
 
 The reference does no bidi at all (plain ``draw.text``, RepText/infer.py:74-76
-— SURVEY.md §2.1 "Arabic caveat"); this module implements the Unicode
-Bidirectional Algorithm core needed to render mixed Arabic / Latin / number /
+— SURVEY.md §2.1 "Arabic caveat"); this module implements the full Unicode
+Bidirectional Algorithm needed to render mixed Arabic / Latin / number /
 punctuation text correctly for an LTR glyph renderer:
 
-- P2/P3 base direction from the first strong character;
-- W1-W7 weak-type resolution with EN and AN kept SEPARATE (Arabic numbers
-  after Arabic letters become AN; European numbers after L stay EN — this is
-  the common mixed "Arabic + digits" case the collapsed-class version got
-  structurally wrong);
-- N0 bracket pairs (BD16 stack pairing + strong-context resolution);
-- N1/N2 neutral resolution with EN/AN acting as R;
-- I1/I2 implicit levels, L1 trailing-whitespace reset, L2 run reversal,
-  L4 mirroring at odd levels;
-- directional marks LRM/RLM/ALM participate as strong types and are then
-  removed from the visual output (they are zero-width formatting characters),
-  as are the explicit embedding/isolate codes this implementation treats as
-  removed-BN (X9).
+- P2/P3 base direction from the first strong character (skipping isolated
+  sequences per the isolate-aware P2);
+- X1-X8 explicit embedding/override state machine (LRE/RLE/LRO/RLO/PDF with
+  the 125-depth directional status stack, overflow counters) and the isolate
+  initiators LRI/RLI/FSI + PDI (X5a-X5c, X6a), including the FSI
+  first-strong scan;
+- X9 removal of embedding/override/PDF/BN characters; X10 isolating run
+  sequences, each resolved with its own sos/eos (level-run linking across
+  isolate initiator -> matching PDI);
+- W1-W7 weak-type resolution per run sequence with EN and AN kept SEPARATE
+  (Arabic numbers after Arabic letters become AN; European numbers after L
+  stay EN — this is the common mixed "Arabic + digits" case the collapsed-
+  class version got structurally wrong);
+- N0 bracket pairs (BD16 stack pairing + strong-context resolution at the
+  run sequence's embedding direction, incl. the trailing-NSM adjustment);
+- N1/N2 neutral resolution with EN/AN acting as R, sos/eos at the ends;
+- I1/I2 implicit levels relative to each sequence's embedding level,
+  L1 trailing-whitespace/isolate reset, L2 run reversal, L4 mirroring at
+  odd levels;
+- directional marks LRM/RLM/ALM participate as strong types, and all
+  zero-width formatting characters (marks, embeddings, isolates, PDI) are
+  removed from the visual output.
 
-Explicit embedding state machines (X1-X8) are not implemented — inline
-LRE/RLE/LRO/RLO/isolates are rare in rendered captions; the marks cover the
-practical override cases. Fixtures recorded from GNU FriBidi pin behavior
-(tests/fixtures/bidi_cases.json).
+Behavior is pinned against GNU FriBidi (the UAX#9 reference implementation)
+by recorded fixtures (tests/fixtures/bidi_cases.json) and a live randomized
+cross-check when libfribidi is present (tests/test_bidi.py).
 """
 
 from __future__ import annotations
 
 import unicodedata
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
-# Directional formatting characters removed from visual output (X9 / marks)
+# Zero-width directional formatting characters never drawn by the renderer.
 _REMOVED = {
     0x200E, 0x200F, 0x061C,              # LRM, RLM, ALM (strong, zero-width)
     0x202A, 0x202B, 0x202C, 0x202D, 0x202E,   # LRE, RLE, PDF, LRO, RLO
@@ -47,21 +55,217 @@ _MIRROR_PAIRS = {
 _BRACKETS = {"(": ")", "[": "]", "{": "}", "⟨": "⟩"}
 _BRACKETS_CLOSE = {v: k for k, v in _BRACKETS.items()}
 
+_ISOLATE_INIT = ("LRI", "RLI", "FSI")
+_MAX_DEPTH = 125
+
 
 def _cls(ch: str) -> str:
     b = unicodedata.bidirectional(ch)
     return b if b else "ON"  # unassigned -> neutral
 
 
+def _matching_pdi(raw: Sequence[str], i: int) -> int:
+    """BD9: index of the PDI matching the isolate initiator at ``i``
+    (len(raw) when unmatched)."""
+    depth = 1
+    for j in range(i + 1, len(raw)):
+        t = raw[j]
+        if t in _ISOLATE_INIT:
+            depth += 1
+        elif t == "PDI":
+            depth -= 1
+            if depth == 0:
+                return j
+    return len(raw)
+
+
+def _first_strong(raw: Sequence[str], start: int, end: int) -> Optional[str]:
+    """P2 over raw[start:end]: first strong type, skipping isolated runs."""
+    i = start
+    while i < end:
+        t = raw[i]
+        if t in _ISOLATE_INIT:
+            i = _matching_pdi(raw, i) + 1
+            continue
+        if t == "L":
+            return "L"
+        if t in ("R", "AL"):
+            return "R"
+        i += 1
+    return None
+
+
+def needs_bidi(text: str) -> bool:
+    """True when the text requires bidi processing before LTR rendering:
+    any RTL-class character (R/AL/AN) or any directional formatting
+    character (marks, embeddings, overrides, isolates — which must at
+    minimum be stripped so the renderer never draws them)."""
+    return any(
+        ord(ch) in _REMOVED or _cls(ch) in ("R", "AL", "AN")
+        for ch in text
+    )
+
+
 def base_direction(text: str, default: str = "ltr") -> str:
-    """P2/P3: first strong character decides the paragraph direction."""
-    for ch in text:
-        c = _cls(ch)
-        if c in ("R", "AL"):
-            return "rtl"
-        if c == "L":
-            return "ltr"
+    """P2/P3: first strong character decides the paragraph direction
+    (characters between an isolate initiator and its matching PDI are
+    skipped, per the isolate-aware P2)."""
+    raw = [_cls(c) for c in text]
+    s = _first_strong(raw, 0, len(raw))
+    if s == "R":
+        return "rtl"
+    if s == "L":
+        return "ltr"
     return default
+
+
+def _explicit_pass(raw: List[str], base_level: int
+                   ) -> Tuple[List[int], List[str], List[bool]]:
+    """X1-X8: explicit embedding levels + overrides; X9 marks removals.
+
+    Returns (levels, types-after-override, removed-by-X9 mask). Isolate
+    initiators and PDI are NOT removed here (they participate in the N rules
+    as neutrals, X10); LRE/RLE/LRO/RLO/PDF/BN are.
+    """
+    n = len(raw)
+    levels = [base_level] * n
+    types = list(raw)
+    removed = [False] * n
+    # directional status stack: (embedding level, override in {N,L,R}, isolate)
+    stack: List[Tuple[int, str, bool]] = [(base_level, "N", False)]
+    overflow_iso = overflow_emb = valid_iso = 0
+
+    for i in range(n):
+        t = raw[i]
+        if t in ("RLE", "LRE", "RLO", "LRO"):                      # X2-X5
+            removed[i] = True
+            levels[i] = stack[-1][0]
+            if overflow_iso or overflow_emb:
+                if not overflow_iso:
+                    overflow_emb += 1
+                continue
+            cur = stack[-1][0]
+            new = (cur + 1) | 1 if t[0] == "R" else (cur + 2) & ~1
+            if new <= _MAX_DEPTH:
+                override = {"RLO": "R", "LRO": "L"}.get(t, "N")
+                stack.append((new, override, False))
+            else:
+                overflow_emb += 1
+        elif t in _ISOLATE_INIT:                                   # X5a-X5c
+            eff = t
+            if t == "FSI":
+                end = _matching_pdi(raw, i)
+                eff = "RLI" if _first_strong(raw, i + 1, end) == "R" else "LRI"
+            cur, override, _ = stack[-1]
+            levels[i] = cur
+            if override != "N":
+                types[i] = override
+            if overflow_iso or overflow_emb:
+                overflow_iso += 1
+                continue
+            new = (cur + 1) | 1 if eff == "RLI" else (cur + 2) & ~1
+            if new <= _MAX_DEPTH:
+                valid_iso += 1
+                stack.append((new, "N", True))
+            else:
+                overflow_iso += 1
+        elif t == "PDI":                                           # X6a
+            if overflow_iso:
+                overflow_iso -= 1
+            elif valid_iso:
+                overflow_emb = 0
+                while not stack[-1][2]:
+                    stack.pop()
+                stack.pop()
+                valid_iso -= 1
+            cur, override, _ = stack[-1]
+            levels[i] = cur
+            if override != "N":
+                types[i] = override
+        elif t == "PDF":                                           # X7
+            removed[i] = True
+            levels[i] = stack[-1][0]
+            if overflow_iso:
+                pass
+            elif overflow_emb:
+                overflow_emb -= 1
+            elif not stack[-1][2] and len(stack) >= 2:
+                stack.pop()
+        elif t == "B":                                             # X8
+            levels[i] = base_level
+            stack = [(base_level, "N", False)]
+            overflow_iso = overflow_emb = valid_iso = 0
+        elif t == "BN":
+            removed[i] = True
+            levels[i] = stack[-1][0]
+        else:                                                      # X6
+            cur, override, _ = stack[-1]
+            levels[i] = cur
+            if override != "N":
+                types[i] = override
+    return levels, types, removed
+
+
+def _isolating_run_sequences(idx: List[int], levels: List[int],
+                             raw: List[str], base_level: int
+                             ) -> List[Tuple[List[int], str, str]]:
+    """X10: group level runs into isolating run sequences; compute sos/eos.
+
+    ``idx`` is the X9-retained positions in logical order. Returns a list of
+    (positions, sos, eos) with sos/eos in {"L", "R"}.
+    """
+    if not idx:
+        return []
+    # level runs over the retained subsequence
+    runs: List[List[int]] = []
+    for i in idx:
+        if runs and levels[i] == levels[runs[-1][-1]]:
+            runs[-1].append(i)
+        else:
+            runs.append([i])
+
+    # BD9 matching over retained positions (isolates are never X9-removed)
+    init_stack: List[int] = []
+    pdi_of: dict = {}
+    init_of: dict = {}
+    for i in idx:
+        if raw[i] in _ISOLATE_INIT:
+            init_stack.append(i)
+        elif raw[i] == "PDI" and init_stack:
+            j = init_stack.pop()
+            pdi_of[j] = i
+            init_of[i] = j
+
+    seqs: List[List[int]] = []
+    seq_of_init: dict = {}
+    for run in runs:
+        first, last = run[0], run[-1]
+        sid = None
+        if raw[first] == "PDI" and first in init_of:
+            sid = seq_of_init.get(init_of[first])
+        if sid is None:
+            seqs.append([])
+            sid = len(seqs) - 1
+        seqs[sid].extend(run)
+        if raw[last] in _ISOLATE_INIT and last in pdi_of:
+            seq_of_init[last] = sid
+
+    pos_in_idx = {i: p for p, i in enumerate(idx)}
+    out = []
+    for seq in seqs:
+        level = levels[seq[0]]
+        p = pos_in_idx[seq[0]]
+        prev_level = levels[idx[p - 1]] if p > 0 else base_level
+        sos = "R" if max(level, prev_level) % 2 else "L"
+        last = seq[-1]
+        if raw[last] in _ISOLATE_INIT and last not in pdi_of:
+            next_level = base_level  # unmatched initiator: eos vs paragraph
+        else:
+            q = pos_in_idx[last]
+            next_level = levels[idx[q + 1]] if q + 1 < len(idx) else base_level
+        eos = "R" if max(level, next_level) % 2 else "L"
+        out.append((seq, sos, eos))
+    return out
 
 
 def _resolve_weak(types: List[str], sos: str) -> None:
@@ -147,8 +351,12 @@ def _pair_brackets(chars: List[str], types: List[str]) -> List[Tuple[int, int]]:
     return sorted(pairs)
 
 
-def _resolve_brackets(chars, types, pairs, e_dir, sos):
-    """N0: set matched bracket pairs to a strong direction from context."""
+def _resolve_brackets(chars, types, pairs, e_dir, sos, orig):
+    """N0: set matched bracket pairs to a strong direction from context.
+
+    ``e_dir`` is the embedding direction of the run sequence (level parity),
+    ``sos`` its start-of-sequence type, ``orig`` the pre-W1 raw classes
+    (needed for the trailing-NSM adjustment)."""
     o_dir = "R" if e_dir == "L" else "L"
 
     def strong_of(t):
@@ -157,6 +365,17 @@ def _resolve_brackets(chars, types, pairs, e_dir, sos):
         if t == "L":
             return "L"
         return None
+
+    def set_pair(open_i, close_i, d):
+        types[open_i] = types[close_i] = d
+        # N0 trailing-NSM rule: NSMs (by original class) immediately after
+        # either bracket take the bracket's new resolved type.
+        for b in (open_i, close_i):
+            for k in range(b + 1, len(types)):
+                if orig[k] == "NSM":
+                    types[k] = d
+                else:
+                    break
 
     for open_i, close_i in pairs:
         inside = None
@@ -169,7 +388,7 @@ def _resolve_brackets(chars, types, pairs, e_dir, sos):
             if s == o_dir:
                 found_opposite = True
         if inside == e_dir:
-            types[open_i] = types[close_i] = e_dir
+            set_pair(open_i, close_i, e_dir)
         elif found_opposite:
             # preceding context: first strong before the opening bracket
             context = sos
@@ -178,17 +397,13 @@ def _resolve_brackets(chars, types, pairs, e_dir, sos):
                 if s is not None:
                     context = s
                     break
-            if context == o_dir:
-                types[open_i] = types[close_i] = o_dir
-            else:
-                types[open_i] = types[close_i] = e_dir
+            set_pair(open_i, close_i, o_dir if context == o_dir else e_dir)
         # else: no strong inside -> leave for N1/N2
 
 
-def _resolve_neutrals(types: List[str], base_level: int, sos: str) -> None:
-    """N1/N2; EN/AN act as R on both sides."""
+def _resolve_neutrals(types: List[str], e_dir: str, sos: str, eos: str) -> None:
+    """N1/N2; EN/AN act as R on both sides; sos/eos at the boundaries."""
     n = len(types)
-    e_dir = "R" if base_level % 2 else "L"
 
     def as_strong(t: str) -> Optional[str]:
         if t in ("R", "EN", "AN"):
@@ -205,7 +420,7 @@ def _resolve_neutrals(types: List[str], base_level: int, sos: str) -> None:
             while j < n and types[j] in neutral:
                 j += 1
             before = as_strong(types[i - 1]) if i > 0 else sos
-            after = as_strong(types[j]) if j < n else sos
+            after = as_strong(types[j]) if j < n else eos
             fill = before if (before == after and before is not None) else e_dir
             for k in range(i, j):
                 types[k] = fill
@@ -215,49 +430,65 @@ def _resolve_neutrals(types: List[str], base_level: int, sos: str) -> None:
 
 
 def resolve_levels(text: str, base: Optional[str] = None) -> Tuple[List[int], List[str]]:
-    """Run the implicit bidi algorithm; returns (levels, kept_chars_mask-ready
-    types). Characters in ``_REMOVED`` get level -1 (dropped from display)."""
+    """Run the full bidi algorithm; returns (levels, raw classes).
+
+    X9-removed characters (LRE/RLE/LRO/RLO/PDF/BN) get level -1: dropping
+    them before L2 is equivalent to UAX#9 §5.2's "level of the preceding
+    character" retention recipe, so they can never change the visible order.
+    Isolate initiators, PDI, and the LRM/RLM/ALM marks keep their RESOLVED
+    levels — they participate in L2 run reversal as zero-width characters
+    (their levels can legitimately split an otherwise-contiguous reversal
+    run) and must only be dropped from the final visual string."""
     chars = list(text)
     raw = [_cls(c) for c in chars]
     if base is None:
         base = base_direction(text)
     base_level = 1 if base == "rtl" else 0
-    sos = "R" if base_level % 2 else "L"
 
-    # X9: strip explicit codes for resolution (keep positions for -1 marking).
-    keep_idx = [i for i, c in enumerate(chars) if ord(c) not in _REMOVED
-                or raw[i] in ("L", "R", "AL")]
-    # marks (LRM/RLM/ALM) participate as strong types, then get dropped later
-    work_idx = keep_idx
-    types = [raw[i] for i in work_idx]
-    wchars = [chars[i] for i in work_idx]
+    # X1-X8 explicit levels/overrides; X9 removal mask
+    levels, otypes, removed = _explicit_pass(raw, base_level)
+    idx = [i for i in range(len(chars)) if not removed[i]]
 
-    _resolve_weak(types, sos)
-    pairs = _pair_brackets(wchars, types)
-    _resolve_brackets(wchars, types, pairs, sos, sos)  # e_dir == sos here
-    _resolve_neutrals(types, base_level, sos)
+    # X10: resolve each isolating run sequence with its own sos/eos
+    for seq, sos, eos in _isolating_run_sequences(idx, levels, raw, base_level):
+        seq_level = levels[seq[0]]
+        e_dir = "R" if seq_level % 2 else "L"
+        # isolate initiators/PDI participate as neutral ON in W/N rules
+        types = [("ON" if raw[i] in ("PDI",) + _ISOLATE_INIT else otypes[i])
+                 for i in seq]
+        orig = [raw[i] for i in seq]
+        wchars = [chars[i] for i in seq]
 
-    # I1/I2: implicit levels
-    levels_w = []
-    for t in types:
-        if base_level % 2 == 0:
-            levels_w.append({"L": 0, "R": 1, "AN": 2, "EN": 2}.get(t, 0))
+        _resolve_weak(types, sos)
+        pairs = _pair_brackets(wchars, types)
+        _resolve_brackets(wchars, types, pairs, e_dir, sos, orig)
+        _resolve_neutrals(types, e_dir, sos, eos)
+
+        # I1/I2: implicit level deltas relative to the sequence level
+        for i, t in zip(seq, types):
+            if seq_level % 2 == 0:
+                levels[i] = seq_level + {"R": 1, "AN": 2, "EN": 2}.get(t, 0)
+            else:
+                levels[i] = seq_level + {"L": 1, "AN": 1, "EN": 1}.get(t, 0)
+
+    # L1: S/B reset to base; trailing WS/isolate-formatting runs (by ORIGINAL
+    # class) before S/B or at end of text reset to base.
+    at_reset = True
+    for p in range(len(idx) - 1, -1, -1):
+        i = idx[p]
+        t = raw[i]
+        if t in ("S", "B"):
+            levels[i] = base_level
+            at_reset = True
+        elif t in ("WS", "PDI") + _ISOLATE_INIT:
+            if at_reset:
+                levels[i] = base_level
         else:
-            levels_w.append({"L": 2, "R": 1, "AN": 2, "EN": 2}.get(t, 1))
+            at_reset = False
 
-    # L1: trailing whitespace (and WS before S/B) resets to the base level
-    for i in range(len(levels_w) - 1, -1, -1):
-        if raw[work_idx[i]] in ("WS", "B", "S"):
-            levels_w[i] = base_level
-        else:
-            break
-
-    levels = [-1] * len(chars)
-    for wi, i in enumerate(work_idx):
-        levels[i] = levels_w[wi]
-    for i, c in enumerate(chars):
-        if ord(c) in _REMOVED:
-            levels[i] = -1  # marks are zero-width: never displayed
+    for i in range(len(chars)):
+        if removed[i]:
+            levels[i] = -1  # X9-removed: safe to drop pre-L2 (see docstring)
     return levels, raw
 
 
@@ -274,7 +505,8 @@ def reorder_visual(text: str, base: Optional[str] = None) -> str:
         for c, lv in zip(chars, levels)
     ]
 
-    # Drop removed marks, keeping level alignment
+    # Drop X9-removed characters; zero-width marks/isolates/PDI stay for L2
+    # (their resolved levels can split reversal runs — see resolve_levels).
     kept = [(c, lv) for c, lv in zip(chars, levels) if lv >= 0]
     if not kept:
         return ""
@@ -295,4 +527,5 @@ def reorder_visual(text: str, base: Optional[str] = None) -> str:
                 i = j
             else:
                 i += 1
-    return "".join(chars)
+    # zero-width formatting characters are never drawn
+    return "".join(c for c in chars if ord(c) not in _REMOVED)

@@ -50,18 +50,28 @@ CASES = [
     "تخفيضات 20% على apple iphone 15",
 ]
 
-# X1-X8 / isolate boundary cases: this implementation treats explicit
-# embedding/override/isolate codes as removed-BN (X9) and does NOT run the
-# explicit state machines (bidi.py module docstring). These fixtures pin the
-# boundary: each records BOTH fribidi's UAX#9-correct output and this
-# implementation's output, so the divergence is measured, not assumed —
-# and any silent behavior change on either side trips the test.
+# X1-X8 / isolate cases: bidi.py implements the full explicit state machine
+# (embedding stack, overrides, isolates, X10 run sequences) as of round 3;
+# these fixtures verify it against fribidi. Each records fribidi's output and
+# this implementation's, so any divergence on either side trips the test.
 EXPLICIT_CASES = [
     "ab \u202Ecd\u202C gh",          # RLO override: UAX#9 reverses "cd"
     "ab \u202Bcd ef\u202C gh",       # RLE embedding around Latin
     "\u0645\u0631\u062d\u0628\u0627 \u2066hi there\u2069 \u0628\u0643",  # LRI isolate in RTL par
-    "abc \u202B\u0634\u0627\u0631\u0639 (\u0645\u0647\u0645)\u202C xyz",  # brackets inside an RLE run (N0 with e_dir != sos; bidi.py _resolve_brackets boundary)
+    "abc \u202B\u0634\u0627\u0631\u0639 (\u0645\u0647\u0645)\u202C xyz",  # brackets inside an RLE run (N0 with e_dir != sos)
     "\u2068\u0646\u0635\u2069 neutral first",    # FSI: first-strong inside isolate
+    "ab \u202Dcd \u0634\u0627\u0631\u0639\u202C gh",   # LRO forces Arabic into LTR order
+    "\u0642\u0628\u0644 \u202Aab cd\u202C \u0628\u0639\u062f",  # LRE inside RTL paragraph
+    "a \u202B1 + 2\u202C b",          # numbers inside an RLE (EN at odd level)
+    "ab \u202B\u0645\u0631 \u202Ecd ef\u202C \u0633\u0644\u0627\u0645\u202C gh",  # nested RLE>RLO
+    "\u0627 \u2066one \u2067\u0639\u062f\u062f 5\u2069 two\u2069 \u0628",  # nested isolates LRI>RLI
+    "x \u2067ab \u0634 cd\u2069 y",   # RLI around mixed Latin/Arabic
+    "\u0623\u0648\u0644 \u2066(a) [b]\u2069 \u0622\u062e\u0631",  # brackets inside LRI in RTL par
+    "ab \u2067\u0645\u0647\u0645 gh",  # unmatched RLI (eos vs paragraph level)
+    "ab \u202Ecd \u0645\u0631 ef",     # unmatched RLO runs to end of text
+    "\u202C\u202C ab \u0634",          # stray PDFs (X7 no-ops)
+    "\u2069 ab \u0634 \u2069",         # stray PDIs (X6a with no initiator)
+    "\u0645\u0631\u062d\u0628\u0627 \u202E123\u202C \u0628\u0643",  # RLO over digits
 ]
 
 
@@ -71,6 +81,8 @@ _MARKS = {0x200E, 0x200F, 0x061C, 0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
           0x2066, 0x2067, 0x2068, 0x2069}
 
 _FLAG_SHAPE_MIRRORING = 0x00000001
+_FRIBIDI_PAR_LTR = 0x00000110
+_FRIBIDI_PAR_RTL = 0x00000111
 
 
 def log2vis(text: str, lib) -> str:
@@ -78,6 +90,12 @@ def log2vis(text: str, lib) -> str:
 
     (fribidi_log2vis is not used because it also runs Arabic joining/shaping
     with ligature FEFF placeholders; shaping has its own golden tests.)
+
+    The paragraph direction is computed in Python with the isolate-aware P2
+    (skip characters between an isolate initiator and its matching PDI) and
+    passed to fribidi explicitly: fribidi 1.0.8's fribidi_get_par_direction
+    does NOT skip isolated sequences, which deviates from UAX#9 P2 whenever
+    the first strong character sits inside an isolate.
     """
     n = len(text)
     FriBidiChar = ctypes.c_uint32
@@ -86,8 +104,10 @@ def log2vis(text: str, lib) -> str:
 
     btypes = (ctypes.c_uint32 * n)()
     lib.fribidi_get_bidi_types(str_in, n, btypes)
-    lib.fribidi_get_par_direction.restype = ctypes.c_uint32
-    pbase.value = lib.fribidi_get_par_direction(btypes, n)
+    from reptext_tpu.conditioning.bidi import base_direction
+
+    pbase.value = (_FRIBIDI_PAR_RTL if base_direction(text) == "rtl"
+                   else _FRIBIDI_PAR_LTR)
 
     brackets = (ctypes.c_uint32 * n)()
     lib.fribidi_get_bracket_types(str_in, n, btypes, brackets)
@@ -121,13 +141,11 @@ def main():
     for t in EXPLICIT_CASES:
         uax9 = log2vis(t, lib)
         ours = reorder_visual(t)
-        fixtures.append({
-            "logical": t,
-            "visual": uax9,            # FriBidi / full UAX#9 (X1-X8 run)
-            "visual_ours": ours,       # this impl (explicit codes -> X9)
-            "explicit": True,
-            "matches_uax9": ours == uax9,
-        })
+        if ours != uax9:
+            raise SystemExit(
+                f"explicit-case divergence from fribidi: {t!r}\n"
+                f"  fribidi: {uax9!r}\n  ours:    {ours!r}")
+        fixtures.append({"logical": t, "visual": uax9, "explicit": True})
     out_path = os.path.join(os.path.dirname(__file__), "fixtures", "bidi_cases.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as f:
