@@ -158,6 +158,12 @@ def main(argv=None) -> int:
                              "(io/convert.py::{convert_clip_vision, "
                              "convert_ip_adapter}); without it the adapter "
                              "is zero-init (an exact no-op)")
+    parser.add_argument("--compile-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache directory "
+                             "(reused across processes: warm serve/CLI "
+                             "restarts skip the 20-40s+ pipeline compiles); "
+                             "'off' disables. Default: "
+                             "$REPTEXT_COMPILE_CACHE or ~/.cache/reptext_tpu/xla")
     args = parser.parse_args(argv)
 
     serve = args.mode in ("serve", "train")
@@ -171,6 +177,10 @@ def main(argv=None) -> int:
             parser.error("--color count must match --text")
 
     import jax.numpy as jnp
+
+    from reptext_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache)
 
     from reptext_tpu.configs import (
         CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config, VAEConfig,

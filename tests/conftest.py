@@ -7,6 +7,9 @@ import os
 
 # Force-override: the environment presets JAX_PLATFORMS=axon (TPU tunnel).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests compile tiny ephemeral graphs; don't churn the user's persistent
+# XLA compile cache through CLI-driven tests (utils/compile_cache.py).
+os.environ.setdefault("REPTEXT_COMPILE_CACHE", "off")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

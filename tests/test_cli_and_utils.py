@@ -80,3 +80,30 @@ def test_cli_sharded_generation(tmp_path):
         "--font-size", "24", "--shard", "2x4", "--output", str(out),
     ])
     assert rc == 0 and out.exists() and out.stat().st_size > 0
+
+
+def test_compile_cache_toggle(tmp_path, monkeypatch):
+    """utils/compile_cache: explicit dir enables the persistent cache;
+    'off' (and the test-env default) disables; env var is the fallback."""
+    import jax
+
+    from reptext_tpu.utils.compile_cache import enable_compile_cache
+
+    assert enable_compile_cache("off") is None
+    monkeypatch.setenv("REPTEXT_COMPILE_CACHE", "")
+    assert enable_compile_cache(None) is None
+
+    d = tmp_path / "xla_cache"
+    got = enable_compile_cache(str(d))
+    try:
+        assert got == str(d) and d.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(d)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    monkeypatch.setenv("REPTEXT_COMPILE_CACHE", str(tmp_path / "env_cache"))
+    got = enable_compile_cache(None)
+    try:
+        assert got == str(tmp_path / "env_cache")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
