@@ -62,10 +62,18 @@ def main(argv=None) -> int:
                              "reusing the last velocity between (1 = off)")
     parser.add_argument("--velocity-cache-warmup", type=int, default=8,
                         help="full model steps before velocity caching kicks in")
-    parser.add_argument("--velocity-cache-mode", choices=["reuse", "linear"],
+    parser.add_argument("--velocity-cache-mode",
+                        choices=["reuse", "linear", "adaptive", "adaptive-linear"],
                         default="reuse",
                         help="skipped-step velocity: repeat last computed, or "
-                             "first-order extrapolation over sigma (txt2img only)")
+                             "first-order extrapolation over sigma (linear: "
+                             "txt2img only); adaptive* replaces the fixed "
+                             "interval with the in-graph latent-drift trigger")
+    parser.add_argument("--velocity-cache-threshold", type=float, default=0.05,
+                        help="adaptive modes: skip while the latents' relative "
+                             "L1 drift since the last computed step is below this")
+    parser.add_argument("--velocity-cache-max-skip", type=int, default=3,
+                        help="adaptive modes: max consecutive skipped steps")
     parser.add_argument("--font", default=None, help="TTF font path")
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
@@ -176,6 +184,19 @@ def main(argv=None) -> int:
         if len(colors) != len(args.text):
             parser.error("--color count must match --text")
 
+    if args.shard:
+        # syntax check up front, before models are built (the full semantic
+        # checks — mode constraints, device counts — stay at the use sites)
+        spec = args.shard.lower()
+        if spec.startswith("sp"):
+            if spec[2:] and not spec[2:].isdigit():
+                parser.error("--shard spN expects an integer N (e.g. sp8)")
+        elif spec != "auto":
+            parts = spec.split("x")
+            if len(parts) != 2 or not all(p.isdigit() for p in parts):
+                parser.error("--shard expects DPxTP (e.g. 2x4), spN "
+                             "(e.g. sp8), or 'auto'")
+
     import jax.numpy as jnp
 
     from reptext_tpu.utils.compile_cache import enable_compile_cache
@@ -216,6 +237,8 @@ def main(argv=None) -> int:
         velocity_cache_interval=args.velocity_cache_interval,
         velocity_cache_warmup=args.velocity_cache_warmup,
         velocity_cache_mode=args.velocity_cache_mode,
+        velocity_cache_threshold=args.velocity_cache_threshold,
+        velocity_cache_max_skip=args.velocity_cache_max_skip,
     )
     if args.tiny:
         flux_cfg, cn_cfg = FluxConfig().tiny(), ControlNetConfig().tiny()

@@ -282,8 +282,19 @@ class PipelineConfig:
     # "reuse": skipped steps repeat the last computed velocity (FORA-style).
     # "linear": first-order extrapolation from the last two computed
     # velocities over sigma (better fidelity at the same skip rate).
-    # The inpaint sampler supports "reuse" only.
+    # "adaptive" / "adaptive-linear" (TeaCache-family): the fixed interval is
+    # replaced by an in-graph trigger — a step is skipped only while the
+    # latents' relative L1 drift since the last computed step stays below
+    # `velocity_cache_threshold` (and at most `velocity_cache_max_skip`
+    # consecutive skips); velocity_cache_interval is ignored. Skipped steps
+    # reuse ("adaptive") or extrapolate ("adaptive-linear") exactly as above.
+    # The inpaint sampler supports "reuse" and "adaptive".
     velocity_cache_mode: str = "reuse"
+    # Adaptive trigger: skip while mean|x - x_ref|/mean|x_ref| < threshold
+    # (x_ref = latents at the last computed step; max over the batch, so a
+    # coalesced batch never skips past any member's drift).
+    velocity_cache_threshold: float = 0.05
+    velocity_cache_max_skip: int = 3
 
     @property
     def vae_scale_factor(self) -> int:

@@ -17,10 +17,17 @@ semantics:
   compute dtype (bf16 on TPU).
 - Optional training-free velocity caching (``PipelineConfig.velocity_cache_*``,
   FORA/TeaCache-style): after a warmup of full steps, the transformer runs
-  only every k-th step and skipped steps reuse the previous velocity — a
-  second ``lax.cond`` whose taken branch is the whole model forward, so
-  skipped steps cost one Euler update. Off by default (interval=1); the
-  reference has no analogue (acceleration beyond the per-step roofline).
+  only every k-th step and skipped steps reuse (or linearly extrapolate) the
+  previous velocity — a second ``lax.cond`` whose taken branch is the whole
+  model forward, so skipped steps cost one Euler update. ``adaptive`` /
+  ``adaptive-linear`` modes replace the fixed interval with an in-graph
+  trigger: skip while the latents' relative L1 drift since the last computed
+  step stays below ``velocity_cache_threshold`` (at most
+  ``velocity_cache_max_skip`` consecutive skips) — the rectified-flow
+  trajectory is near-straight exactly when the latents move slowly, so the
+  drift signal spends model evaluations where the trajectory bends. Off by
+  default (interval=1, mode="reuse"); the reference has no analogue
+  (acceleration beyond the per-step roofline).
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ def make_txt2img_sampler(
     schedule: FlowMatchSchedule,
     pipe_cfg: PipelineConfig,
     compute_dtype: Any = jnp.float32,
+    signal_axis: Optional[str] = None,
 ) -> Callable:
     """Build the jitted sampling function.
 
@@ -47,6 +55,11 @@ def make_txt2img_sampler(
     block_res, single_res)`` and ``controlnet_apply(params, hidden, cond, ctx,
     pooled, t, img_ids, txt_ids, guidance, scale)`` are bound model apply fns
     (e.g. functools.partial(model.apply)).
+
+    ``signal_axis``: mesh axis name when the sampler body runs inside a
+    shard_map (SP) — the adaptive-cache trigger is pmax'd over it so every
+    shard takes the same lax.cond branch (the model forward contains
+    collectives; divergent branches would deadlock).
     """
     sigmas = jnp.asarray(schedule.sigmas, jnp.float32)
     timesteps = jnp.asarray(schedule.timesteps, jnp.float32)
@@ -55,7 +68,12 @@ def make_txt2img_sampler(
     cond_scale = pipe_cfg.controlnet_conditioning_scale
     vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
     vc_warmup = max(getattr(pipe_cfg, "velocity_cache_warmup", 8), 1)
-    vc_linear = getattr(pipe_cfg, "velocity_cache_mode", "reuse") == "linear"
+    vc_mode = getattr(pipe_cfg, "velocity_cache_mode", "reuse")
+    vc_linear = vc_mode in ("linear", "adaptive-linear")
+    vc_adaptive = vc_mode in ("adaptive", "adaptive-linear")
+    vc_threshold = float(getattr(pipe_cfg, "velocity_cache_threshold", 0.05))
+    vc_max_skip = max(int(getattr(pipe_cfg, "velocity_cache_max_skip", 3)), 1)
+    vc_enabled = vc_interval > 1 or vc_adaptive
 
     def _scan_chunk(
         flux_params,
@@ -118,8 +136,9 @@ def make_txt2img_sampler(
         def step(carry, scan_in):
             # cache registers hold the last two COMPUTED velocities and the
             # sigmas at which they were computed (extrapolated values never
-            # enter the registers — no compounding).
-            lat, v_prev, v_prev2, s_prev, s_prev2 = carry
+            # enter the registers — no compounding). lat_ref/skips drive the
+            # adaptive trigger and are dead (XLA-DCE'd) in the other modes.
+            lat, v_prev, v_prev2, s_prev, s_prev2, lat_ref, skips = carry
             i, local = scan_in
             t_b = jnp.full((b,), timesteps[i] / 1000.0, compute_dtype)
             x_model = lat.astype(compute_dtype)
@@ -151,23 +170,33 @@ def make_txt2img_sampler(
                 return out.astype(jnp.float32)
 
             sig_i = sigmas[i]
-            if vc_interval == 1:
+            if not vc_enabled:
                 velocity = compute_velocity(None)
-                regs = (velocity, v_prev, sig_i, s_prev)
+                regs = (velocity, v_prev, sig_i, s_prev, lat_ref, skips)
             else:
-                # Cache schedule over absolute step i; `local == 0` forces the
-                # first step of every scan chunk (the carried velocity is
-                # zeros at a chunk boundary, never a valid cache entry).
-                run = (
-                    (i < vc_warmup)
-                    | ((i - vc_warmup) % vc_interval == 0)
-                    | (i >= num_steps - 1)
-                    | (local == 0)
-                )
+                # Cache schedule; `local == 0` forces the first step of every
+                # scan chunk (the carried velocity is zeros at a chunk
+                # boundary, never a valid cache entry).
+                always = (i < vc_warmup) | (i >= num_steps - 1) | (local == 0)
+                if vc_adaptive:
+                    # TeaCache-family in-graph trigger: skip while the
+                    # latents' relative L1 drift since the last COMPUTED step
+                    # stays under the threshold (max over the batch — a
+                    # coalesced batch never skips past any member's drift),
+                    # bounded by vc_max_skip consecutive skips.
+                    drift = jnp.mean(jnp.abs(lat - lat_ref), axis=(1, 2))
+                    ref = jnp.mean(jnp.abs(lat_ref), axis=(1, 2))
+                    rel = jnp.max(drift / (ref + 1e-8))
+                    if signal_axis is not None:
+                        rel = jax.lax.pmax(rel, signal_axis)
+                    run = always | (rel >= vc_threshold) | (skips >= vc_max_skip)
+                else:
+                    run = always | ((i - vc_warmup) % vc_interval == 0)
 
                 def computed(_):
                     v = compute_velocity(None)
-                    return v, (v, v_prev, sig_i, s_prev)
+                    return v, (v, v_prev, sig_i, s_prev,
+                               lat.astype(jnp.float32), jnp.zeros((), jnp.int32))
 
                 def skipped(_):
                     if vc_linear:
@@ -183,7 +212,8 @@ def make_txt2img_sampler(
                         v = v_prev + (v_prev - v_prev2) * (inv * (sig_i - s_prev))
                     else:
                         v = v_prev
-                    return v, (v_prev, v_prev2, s_prev, s_prev2)
+                    return v, (v_prev, v_prev2, s_prev, s_prev2,
+                               lat_ref, skips + 1)
 
                 velocity, regs = jax.lax.cond(run, computed, skipped, operand=None)
 
@@ -210,6 +240,8 @@ def make_txt2img_sampler(
             zeros_v,                    # v_prev2
             jnp.zeros((), jnp.float32),  # sigma of v_prev
             jnp.zeros((), jnp.float32),  # sigma of v_prev2
+            zeros_v,                    # lat_ref (adaptive trigger reference)
+            jnp.zeros((), jnp.int32),    # consecutive skips since last compute
         )
         (latents_out, *_), _ = jax.lax.scan(step, init, (indices, locals_))
         return latents_out
@@ -275,7 +307,8 @@ def make_sp_txt2img_sampler(
     from jax.sharding import PartitionSpec as P
 
     base = make_txt2img_sampler(
-        flux_apply, controlnet_apply, schedule, pipe_cfg, compute_dtype
+        flux_apply, controlnet_apply, schedule, pipe_cfg, compute_dtype,
+        signal_axis=axis_name,
     )
     tok = P(None, axis_name, None)       # [B, S, C] latents / [N, S, F] conds
     ids = P(axis_name, None)             # [S, 3] image RoPE ids

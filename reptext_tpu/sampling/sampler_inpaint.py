@@ -55,6 +55,15 @@ def make_inpaint_sampler(
     true_scale = pipe_cfg.true_guidance_scale
     vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
     vc_warmup = max(getattr(pipe_cfg, "velocity_cache_warmup", 8), 1)
+    vc_mode = getattr(pipe_cfg, "velocity_cache_mode", "reuse")
+    if vc_mode in ("linear", "adaptive-linear"):
+        raise NotImplementedError(
+            "the inpaint sampler supports velocity_cache_mode 'reuse' and "
+            "'adaptive' (no extrapolation registers in the CFG loop)")
+    vc_adaptive = vc_mode == "adaptive"
+    vc_threshold = float(getattr(pipe_cfg, "velocity_cache_threshold", 0.05))
+    vc_max_skip = max(int(getattr(pipe_cfg, "velocity_cache_max_skip", 3)), 1)
+    vc_enabled = vc_interval > 1 or vc_adaptive
 
     def sample(
         flux_params,
@@ -107,7 +116,7 @@ def make_inpaint_sampler(
             return mask_and_sum(block), mask_and_sum(single)
 
         def step(carry, i):
-            lat, v_prev = carry                          # [B, S, C] fp32
+            lat, v_prev, lat_ref, skips = carry          # [B, S, C] fp32 ×3
             x2 = jnp.tile(lat, (2, 1, 1)).astype(compute_dtype)
             t2 = jnp.full((b2,), timesteps[i] / 1000.0, compute_dtype)
 
@@ -148,25 +157,40 @@ def make_inpaint_sampler(
                 v_uncond, v_text = velocity2[:b], velocity2[b:]
                 return v_uncond + true_scale * (v_text - v_uncond)
 
-            if vc_interval == 1:
+            if not vc_enabled:
                 v_cfg = compute_v_cfg(None)
+                regs = (lat_ref, skips)
             else:
                 # velocity caching (see sampler.py): warmup >= 1 always runs
                 # step 0, so the cache seed (zeros) is never consumed.
-                run = (
-                    (i < vc_warmup)
-                    | ((i - vc_warmup) % vc_interval == 0)
-                    | (i >= num_steps - 1)
+                always = (i < vc_warmup) | (i >= num_steps - 1)
+                if vc_adaptive:
+                    # latents' relative L1 drift since the last computed step
+                    # (see sampler.py for the trigger semantics)
+                    drift = jnp.mean(jnp.abs(lat - lat_ref), axis=(1, 2))
+                    ref = jnp.mean(jnp.abs(lat_ref), axis=(1, 2))
+                    rel = jnp.max(drift / (ref + 1e-8))
+                    run = always | (rel >= vc_threshold) | (skips >= vc_max_skip)
+                else:
+                    run = always | ((i - vc_warmup) % vc_interval == 0)
+
+                def computed(_):
+                    return (compute_v_cfg(None), lat.astype(jnp.float32),
+                            jnp.zeros((), jnp.int32))
+
+                def skipped(_):
+                    return v_prev, lat_ref, skips + 1
+
+                v_cfg, lat_ref_n, skips_n = jax.lax.cond(
+                    run, computed, skipped, operand=None
                 )
-                v_cfg = jax.lax.cond(
-                    run, compute_v_cfg, lambda _: v_prev, operand=None
-                )
+                regs = (lat_ref_n, skips_n)
             # step 0: zero velocity (reference :1264-1270) — applied OUTSIDE
             # the cache so a skipped step 1+ never reuses the zeroed value.
             v = jnp.where(i > 0, v_cfg, jnp.zeros_like(v_cfg))
 
             dt = sigmas[i + 1] - sigmas[i]
-            return (lat + dt * v, v_cfg), None
+            return (lat + dt * v, v_cfg) + regs, None
 
         rt_shapes = jax.eval_shape(
             run_reptext,
@@ -179,8 +203,10 @@ def make_inpaint_sampler(
         init = (
             latents.astype(jnp.float32),
             jnp.zeros(latents.shape, jnp.float32),  # velocity cache seed
+            jnp.zeros(latents.shape, jnp.float32),  # lat_ref (adaptive)
+            jnp.zeros((), jnp.int32),               # consecutive skips
         )
-        (latents_out, _), _ = jax.lax.scan(step, init, jnp.arange(num_steps))
+        (latents_out, *_), _ = jax.lax.scan(step, init, jnp.arange(num_steps))
         return latents_out
 
     return sample

@@ -266,6 +266,32 @@ def check_sp_sampler():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
     print("sp fused-sampler parity OK (whole denoise scan sequence-sharded)")
 
+    # Adaptive velocity cache under SP: the drift trigger is pmax'd over the
+    # sp axis inside the shard_map so every shard takes the same lax.cond
+    # branch; sharded must still match single-device with the same trigger.
+    import dataclasses
+
+    steps_a = 4
+    ad_cfg = dataclasses.replace(
+        pipe_cfg, num_inference_steps=steps_a,
+        controlnet_conditioning_step=steps_a,
+        velocity_cache_mode="adaptive", velocity_cache_warmup=1,
+        velocity_cache_threshold=1e9, velocity_cache_max_skip=2)
+    schedule_a = build_schedule(steps_a, 16)
+    want_a = np.asarray(
+        make_txt2img_sampler(flux_apply, cn_apply, schedule_a, ad_cfg)(*args))
+    got_a = np.asarray(jax.jit(make_sp_txt2img_sampler(
+        sp_flux_apply, sp_cn_apply, schedule_a, ad_cfg, mesh))(*args))
+    np.testing.assert_allclose(got_a, want_a, rtol=2e-4, atol=2e-4)
+    # the huge threshold must actually have skipped (trajectory differs from
+    # the uncached sampler) — otherwise this parity is vacuous
+    plain = np.asarray(make_txt2img_sampler(
+        flux_apply, cn_apply, schedule_a,
+        dataclasses.replace(ad_cfg, velocity_cache_mode="reuse",
+                            velocity_cache_interval=1))(*args))
+    assert np.abs(plain - want_a).max() > 0
+    print("sp adaptive-cache parity OK (drift trigger pmax'd over sp)")
+
 
 def check_sp_pipeline():
     """PIPELINE-LEVEL sequence parallelism: FluxRepTextPipeline.shard_for_sp

@@ -102,11 +102,12 @@ def test_inpaint_velocity_cache(pipeline):
         seed=7,
     )
 
-    def build(steps, interval):
+    def build(steps, interval, **cache_kw):
         cfg = dataclasses.replace(
             pipeline.pipe_cfg, num_inference_steps=steps,
             controlnet_conditioning_step=steps,
             velocity_cache_interval=interval, velocity_cache_warmup=1,
+            **cache_kw,
         )
         return FluxRepTextInpaintPipeline.create_inpaint(
             inpaint_cn_cfg=pipeline.inpaint_controlnet.config,
@@ -125,3 +126,17 @@ def test_inpaint_velocity_cache(pipeline):
     diff = np.abs(base.astype(np.int32) - cached.astype(np.int32))
     assert diff.max() > 0      # caching changed the trajectory
     assert diff.mean() < 64    # but did not diverge
+
+    # adaptive mode: threshold=0 always computes -> same trajectory as
+    # uncached. Tolerance 1: the lax.cond wrapper shifts XLA fusion
+    # boundaries, and a handful of pixels land on the other side of the
+    # uint8 rounding boundary (measured: 4/12288 off by exactly 1 on TPU).
+    always = build(4, 1, velocity_cache_mode="adaptive",
+                   velocity_cache_threshold=0.0)(kw["conds"], **rest)
+    d1 = np.abs(base.astype(np.int32) - always.astype(np.int32))
+    assert d1.max() <= 1 and (d1 > 0).mean() < 0.01
+    skippy = build(4, 1, velocity_cache_mode="adaptive",
+                   velocity_cache_threshold=1e9,
+                   velocity_cache_max_skip=2)(kw["conds"], **rest)
+    d2 = np.abs(base.astype(np.int32) - skippy.astype(np.int32))
+    assert d2.max() > 0 and d2.mean() < 64

@@ -37,6 +37,8 @@ def test_dump_json_parses():
     assert json.loads(m.dump_json())["counters"]["x"] == 1
 
 
+@pytest.mark.slow  # two full tiny-pipeline compiles; sampler-level TP parity
+# is in the fast tier via tests/mesh_scenarios.py::check_pipeline_tp_inference
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="requires 8 virtual devices")
 def test_sharded_pipeline_generation():
     import jax.numpy as jnp

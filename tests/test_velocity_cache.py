@@ -40,12 +40,14 @@ def _stub_cn(params, hidden, cond, ctx, pooled, t, img_ids, txt_ids,
     return block, single
 
 
-def _make(num_steps, interval, warmup=2, gate=10**9, mode="reuse"):
+def _make(num_steps, interval, warmup=2, gate=10**9, mode="reuse",
+          threshold=0.05, max_skip=3):
     cfg = PipelineConfig(
         height=32, width=32, num_inference_steps=num_steps,
         controlnet_conditioning_step=min(gate, num_steps),
         velocity_cache_interval=interval, velocity_cache_warmup=warmup,
         velocity_cache_mode=mode,
+        velocity_cache_threshold=threshold, velocity_cache_max_skip=max_skip,
     )
     schedule = build_schedule(num_steps, cfg.image_seq_len)
     sampler = make_txt2img_sampler(_stub_flux, _stub_cn, schedule, cfg)
@@ -70,14 +72,28 @@ def _reference_loop(schedule, cfg, latents, cond_tokens, token_masks, ctx,
     num_steps = schedule.num_steps
     interval = cfg.velocity_cache_interval
     warmup = cfg.velocity_cache_warmup
-    linear = cfg.velocity_cache_mode == "linear"
+    linear = cfg.velocity_cache_mode in ("linear", "adaptive-linear")
+    adaptive = cfg.velocity_cache_mode in ("adaptive", "adaptive-linear")
     gate = cfg.controlnet_conditioning_step
     lat = latents.astype(jnp.float32)
     v = None
     computed = []  # [(sigma, v), ...] last-two computed register
+    lat_ref = jnp.zeros_like(lat)
+    skips = 0
     for i in range(num_steps):
-        run = (interval == 1 or i < warmup
-               or (i - warmup) % interval == 0 or i >= num_steps - 1 or i == 0)
+        if adaptive:
+            drift = jnp.mean(jnp.abs(lat - lat_ref), axis=(1, 2))
+            ref = jnp.mean(jnp.abs(lat_ref), axis=(1, 2))
+            rel = float(jnp.max(drift / (ref + 1e-8)))
+            run = (i < warmup or i >= num_steps - 1 or i == 0
+                   or rel >= cfg.velocity_cache_threshold
+                   or skips >= cfg.velocity_cache_max_skip)
+        else:
+            run = (interval == 1 or i < warmup
+                   or (i - warmup) % interval == 0 or i >= num_steps - 1
+                   or i == 0)
+        if not run:
+            skips += 1
         if not run:
             if linear and len(computed) >= 2:
                 (s1, v1), (s2, v2) = computed[-1], computed[-2]
@@ -85,6 +101,8 @@ def _reference_loop(schedule, cfg, latents, cond_tokens, token_masks, ctx,
             else:
                 v = computed[-1][1]
         if run:
+            lat_ref = lat
+            skips = 0
             t_b = jnp.full((B,), schedule.timesteps[i] / 1000.0)
             if i < gate:
                 block, single = _stub_cn(
@@ -115,6 +133,54 @@ def test_fused_matches_reference_loop(interval, warmup, mode):
     want = _reference_loop(schedule, cfg, *args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode,threshold,max_skip", [
+    ("adaptive", 0.05, 3),
+    ("adaptive", 1e9, 2),          # drift never triggers: pure max-skip cadence
+    ("adaptive-linear", 0.05, 3),
+    ("adaptive-linear", 0.02, 4),
+])
+def test_adaptive_matches_reference_loop(mode, threshold, max_skip):
+    """Adaptive (TeaCache-family) trigger semantics: the in-graph lax.cond
+    decision must match a Python loop replicating the drift accumulator."""
+    sampler, schedule, cfg = _make(10, 1, warmup=2, mode=mode,
+                                   threshold=threshold, max_skip=max_skip)
+    args = _args()
+    got = sampler(None, None, args[0], args[1], args[2], args[3], args[4],
+                  args[5], args[6], None)
+    want = _reference_loop(schedule, cfg, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_adaptive_zero_threshold_is_uncached():
+    """threshold=0 means the drift trigger always fires: every step computes,
+    bit-identical to the uncached sampler."""
+    args = _args()
+    uncached, _, _ = _make(10, 1)
+    adaptive, _, _ = _make(10, 1, mode="adaptive", threshold=0.0)
+    a = uncached(None, None, args[0], args[1], args[2], args[3], args[4],
+                 args[5], args[6], None)
+    b = adaptive(None, None, args[0], args[1], args[2], args[3], args[4],
+                 args[5], args[6], None)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adaptive_skips_and_stays_close():
+    """A high threshold actually skips (result differs from uncached) while
+    max_skip bounds divergence."""
+    args = _args()
+    uncached, _, _ = _make(12, 1, warmup=4)
+    adaptive, _, _ = _make(12, 1, warmup=4, mode="adaptive",
+                           threshold=1e9, max_skip=2)
+    a = np.asarray(uncached(None, None, args[0], args[1], args[2], args[3],
+                            args[4], args[5], args[6], None))
+    b = np.asarray(adaptive(None, None, args[0], args[1], args[2], args[3],
+                            args[4], args[5], args[6], None))
+    diff = np.abs(a - b).max()
+    assert diff > 0
+    assert diff < 0.2 * np.abs(a).max()
 
 
 def test_cache_changes_result_but_stays_close():
