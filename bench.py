@@ -222,7 +222,9 @@ def build_inpaint_step(num_double: int, num_single: int,
 
 
 def build_sampler(num_double: int, num_single: int, sampler_steps: int,
-                  vc_interval: int = 1, vc_warmup: int = 8):
+                  vc_interval: int = 1, vc_warmup: int = 8,
+                  vc_mode: str = "reuse", vc_threshold: float = 0.05,
+                  vc_max_skip: int = 3):
     """The REAL production sampler graph (sampling/sampler.py): lax.scan over
     FlowMatch steps with step-gating, line-batched ControlNet + regional
     masking, Euler update — exactly what pipelines/txt2img.py runs."""
@@ -242,6 +244,8 @@ def build_sampler(num_double: int, num_single: int, sampler_steps: int,
         height=1024, width=1024, num_inference_steps=sampler_steps,
         controlnet_conditioning_step=sampler_steps,   # CN on all steps (op-point)
         velocity_cache_interval=vc_interval, velocity_cache_warmup=vc_warmup,
+        velocity_cache_mode=vc_mode, velocity_cache_threshold=vc_threshold,
+        velocity_cache_max_skip=vc_max_skip,
     )
     model = FluxTransformer2D(flux_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     cn = RepTextControlNet(cn_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)

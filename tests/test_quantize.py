@@ -116,6 +116,8 @@ def test_flux_forward_fp8_close_and_smaller():
     assert stored < 0.62 * bf16, (stored, bf16)
 
 
+@pytest.mark.slow  # a full extra tiny-FLUX compile; the invariant is also
+# exercised e2e by the pre-quantized-checkpoint CLI tests (slow tier)
 def test_flux_weight_quant_flag_accepts_unquantized_params():
     """dequantize_collection is idempotent, so a weight_quant model applied
     to plain bf16 params is bit-identical to the plain model (one pipeline
@@ -161,6 +163,7 @@ def test_controlnet_fp8_forward_and_zero_init_preserved():
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
 
 
+@pytest.mark.slow  # bench-support only (random_params_like feeds bench.py)
 def test_random_params_like_matches_quantized_structure():
     """bench.py synthesizes full-depth params from init shapes; the tree it
     builds must be exactly the tree quantize_params produces from real
