@@ -1,0 +1,217 @@
+"""Calibrate the adaptive velocity-cache threshold against glyph accuracy.
+
+The adaptive trigger (sampling/sampler.py, ``velocity_cache_mode=adaptive``)
+skips a step while the latents' relative L1 drift since the last computed
+step stays below ``velocity_cache_threshold``. The right threshold is a
+property of the WEIGHTS (the drift trace of a random-init model is
+meaningless), so this tool sweeps candidate thresholds on a given checkpoint
+and reports, per threshold:
+
+- predicted computed-step count, from the uncached run's recorded latent
+  trajectory (first-order: the cached trajectory stays close to the uncached
+  one, and the trigger is replayed offline on the recorded trace; the replay
+  uses post-step latents, one Euler update later than the in-graph signal —
+  both approximations documented in the output),
+- predicted speedup = steps / computed (measured property: skipped steps are
+  free — benchmarks/adaptive_cache_ab.json, 1.861x at 16/30 vs ideal 1.875),
+- MEASURED OCR-judge character-accuracy delta and pixel MAD vs the uncached
+  image at the same seed (each threshold is a distinct compiled graph — the
+  threshold is static in the scan — so a sweep pays one compile per point;
+  this is an offline calibration tool, not a serving path),
+
+and recommends the largest threshold whose char-accuracy delta stays under
+the 1% acceptance gate (the same gate benchmarks/run_fidelity.py applies to
+the fixed-interval cache).
+
+Usage:
+    JAX_PLATFORMS=cpu python benchmarks/calibrate_adaptive_cache.py   # tiny
+    python benchmarks/calibrate_adaptive_cache.py --checkpoint-dir /path \
+        --thresholds 0.02,0.05,0.08,0.12 --max-skip 3                 # real
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SEED = 42
+
+
+def replay_trigger(traj, threshold, max_skip, warmup, steps):
+    """Replay the in-graph trigger on a recorded latent trajectory.
+
+    ``traj[i]`` is the latents AFTER step i of the uncached run ([B, S, C]);
+    the in-graph signal uses latents BEFORE each step, so the replay runs one
+    Euler update late — a first-order approximation, stated in the output.
+    Returns the list of computed step indices.
+    """
+    computed = []
+    lat_ref = None
+    skips = 0
+    for i in range(steps):
+        lat = traj[max(i - 1, 0)]
+        if lat_ref is None:
+            rel = np.inf
+        else:
+            drift = np.abs(lat - lat_ref).mean(axis=(1, 2))
+            ref = np.abs(lat_ref).mean(axis=(1, 2))
+            rel = float((drift / (ref + 1e-8)).max())
+        run = (i < warmup or i >= steps - 1 or rel >= threshold
+               or skips >= max_skip)
+        if run:
+            computed.append(i)
+            lat_ref, skips = lat, 0
+        else:
+            skips += 1
+    return computed
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="converted weights; full geometry + 1024^2 when set")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--thresholds", default="0.02,0.05,0.08,0.12",
+                        help="comma-separated candidate thresholds")
+    parser.add_argument("--max-skip", type=int, default=3)
+    parser.add_argument("--mode", default="adaptive",
+                        choices=["adaptive", "adaptive-linear"])
+    parser.add_argument("--warmup", type=int, default=None,
+                        help="default: steps // 3")
+    parser.add_argument("--output", default="results/adaptive_calibration.json")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from reptext_tpu.configs import (
+        CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config, VAEConfig,
+    )
+    from reptext_tpu.conditioning import TextLine, build_conditions
+    from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    real = args.checkpoint_dir is not None
+    size = 1024 if real else 256
+    steps = args.steps or (30 if real else 6)
+    warmup = args.warmup if args.warmup is not None else max(steps // 3, 1)
+    font = int(size * 80 / 1024) if real else 48
+    thresholds = [float(t) for t in args.thresholds.split(",")]
+
+    pipe_cfg = PipelineConfig(
+        height=size, width=size, num_inference_steps=steps,
+        controlnet_conditioning_step=steps,
+    )
+    common = dict(compute_dtype=jnp.bfloat16 if real else jnp.float32,
+                  param_dtype=jnp.bfloat16 if real else jnp.float32)
+    if real:
+        from reptext_tpu.io.checkpoint import load_pipeline_params
+
+        params = load_pipeline_params(args.checkpoint_dir)
+        cfgs = dict(flux_cfg=FluxConfig(), cn_cfg=ControlNetConfig(),
+                    vae_cfg=VAEConfig(), clip_cfg=CLIPConfig(), t5_cfg=T5Config())
+    else:
+        params = None
+        cfgs = dict(flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+                    vae_cfg=VAEConfig().tiny(), clip_cfg=CLIPConfig().tiny(),
+                    t5_cfg=T5Config().tiny())
+    pipe = FluxRepTextPipeline.create(pipe_cfg=pipe_cfg, params=params,
+                                      **cfgs, **common)
+    params = pipe.params  # reuse the same weights across all variant pipelines
+
+    lines = [TextLine("مرحبا", (size // 8, size // 4), font_size=font),
+             TextLine("Hi", (size // 8, size // 2), font_size=font)]
+    conds = build_conditions(lines, size, size)
+    from reptext_tpu.cli import _tokenize
+
+    clip_ids, t5_ids = _tokenize("a street sign in city, 'Hi'",
+                                 pipe.clip.config, pipe.t5.config,
+                                 args.checkpoint_dir)
+    kw = dict(clip_ids=clip_ids, t5_ids=t5_ids, seed=SEED)
+
+    # 1. uncached reference run, recording the latent trajectory per step
+    #    (callback_steps=1: each step is its own chunk — fine here, the run
+    #    is uncached so chunk boundaries change nothing)
+    traj = []
+    ref_img = np.asarray(
+        pipe(conds, callback=lambda i, lat: traj.append(
+            np.asarray(lat, np.float32)) and None,
+             callback_steps=1, **kw)[0])
+
+    judge = texts = None
+    try:
+        from reptext_tpu.eval import ocr as ocr_judge
+
+        judge = ocr_judge.load_judge()
+        texts = [ln.text for ln in lines]
+
+        def char_acc(img):
+            crops = [img[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]
+                     for lc in conds.lines]
+            return round(ocr_judge.char_accuracy(crops, texts, judge), 4)
+
+        ref_acc = char_acc(ref_img)
+    except FileNotFoundError:
+        print("ocr judge weights missing — reporting pixel MAD only")
+        ref_acc = None
+
+    # 2. sweep: one adaptive pipeline per threshold (recompile per point)
+    rows = []
+    for th in thresholds:
+        pred = replay_trigger(traj, th, args.max_skip, warmup, steps)
+        vc_cfg = dataclasses.replace(
+            pipe_cfg, velocity_cache_mode=args.mode,
+            velocity_cache_threshold=th, velocity_cache_max_skip=args.max_skip,
+            velocity_cache_warmup=warmup)
+        vc_pipe = FluxRepTextPipeline.create(
+            pipe_cfg=vc_cfg, params=dict(params), **cfgs, **common)
+        img = np.asarray(vc_pipe(conds, **kw)[0])
+        row = {
+            "threshold": th,
+            "predicted_computed_steps": len(pred),
+            "predicted_speedup": round(steps / max(len(pred), 1), 3),
+            "pixel_mad": round(float(np.abs(
+                img.astype(np.float64) - ref_img.astype(np.float64)).mean()), 4),
+        }
+        if ref_acc is not None:
+            acc = char_acc(img)
+            row["char_accuracy"] = acc
+            row["char_acc_delta"] = round(ref_acc - acc, 4)
+            row["acceptable"] = bool(row["char_acc_delta"] < 0.01)
+        rows.append(row)
+        print(row)
+        del vc_pipe
+
+    recommended = None
+    ok = [r for r in rows if r.get("acceptable")]
+    if ok:
+        recommended = max(ok, key=lambda r: r["threshold"])["threshold"]
+
+    out = {
+        "seed": SEED, "size": size, "steps": steps, "warmup": warmup,
+        "mode": args.mode, "max_skip": args.max_skip,
+        "weights": "converted" if real else "random-init (tiny geometry)",
+        "char_accuracy_uncached": ref_acc,
+        "sweep": rows,
+        "recommended_threshold": recommended,
+        "caveats": [
+            "predicted_computed_steps replays the trigger on the UNCACHED "
+            "trajectory (cached trajectories drift slightly) using post-step "
+            "latents (one Euler update later than the in-graph signal)",
+            "random-init sweeps exercise the mechanics only; calibrate on "
+            "converted weights",
+        ],
+    }
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.output).write_text(json.dumps(out, indent=1))
+    print(f"wrote {args.output}; recommended_threshold={recommended}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
