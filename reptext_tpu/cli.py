@@ -66,9 +66,9 @@ def main(argv=None) -> int:
                         choices=["reuse", "linear", "adaptive", "adaptive-linear"],
                         default="reuse",
                         help="skipped-step velocity: repeat last computed, or "
-                             "first-order extrapolation over sigma (linear: "
-                             "txt2img only); adaptive* replaces the fixed "
-                             "interval with the in-graph latent-drift trigger")
+                             "first-order extrapolation over sigma; adaptive* "
+                             "replaces the fixed interval with the in-graph "
+                             "latent-drift trigger")
     parser.add_argument("--velocity-cache-threshold", type=float, default=0.05,
                         help="adaptive modes: skip while the latents' relative "
                              "L1 drift since the last computed step is below this")

@@ -288,7 +288,8 @@ class PipelineConfig:
     # `velocity_cache_threshold` (and at most `velocity_cache_max_skip`
     # consecutive skips); velocity_cache_interval is ignored. Skipped steps
     # reuse ("adaptive") or extrapolate ("adaptive-linear") exactly as above.
-    # The inpaint sampler supports "reuse" and "adaptive".
+    # Both fused samplers support all four modes (the inpaint sampler's
+    # registers hold CFG-combined velocities).
     velocity_cache_mode: str = "reuse"
     # Adaptive trigger: skip while mean|x - x_ref|/mean|x_ref| < threshold
     # (x_ref = latents at the last computed step; max over the batch, so a

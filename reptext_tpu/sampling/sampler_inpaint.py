@@ -56,11 +56,8 @@ def make_inpaint_sampler(
     vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
     vc_warmup = max(getattr(pipe_cfg, "velocity_cache_warmup", 8), 1)
     vc_mode = getattr(pipe_cfg, "velocity_cache_mode", "reuse")
-    if vc_mode in ("linear", "adaptive-linear"):
-        raise NotImplementedError(
-            "the inpaint sampler supports velocity_cache_mode 'reuse' and "
-            "'adaptive' (no extrapolation registers in the CFG loop)")
-    vc_adaptive = vc_mode == "adaptive"
+    vc_linear = vc_mode in ("linear", "adaptive-linear")
+    vc_adaptive = vc_mode in ("adaptive", "adaptive-linear")
     vc_threshold = float(getattr(pipe_cfg, "velocity_cache_threshold", 0.05))
     vc_max_skip = max(int(getattr(pipe_cfg, "velocity_cache_max_skip", 3)), 1)
     vc_enabled = vc_interval > 1 or vc_adaptive
@@ -116,7 +113,10 @@ def make_inpaint_sampler(
             return mask_and_sum(block), mask_and_sum(single)
 
         def step(carry, i):
-            lat, v_prev, lat_ref, skips = carry          # [B, S, C] fp32 ×3
+            # cache registers mirror sampler.py: last two COMPUTED CFG
+            # velocities + their sigmas (extrapolated values never enter the
+            # registers), plus the adaptive trigger's (lat_ref, skips).
+            lat, v_prev, v_prev2, s_prev, s_prev2, lat_ref, skips = carry
             x2 = jnp.tile(lat, (2, 1, 1)).astype(compute_dtype)
             t2 = jnp.full((b2,), timesteps[i] / 1000.0, compute_dtype)
 
@@ -157,9 +157,10 @@ def make_inpaint_sampler(
                 v_uncond, v_text = velocity2[:b], velocity2[b:]
                 return v_uncond + true_scale * (v_text - v_uncond)
 
+            sig_i = sigmas[i]
             if not vc_enabled:
                 v_cfg = compute_v_cfg(None)
-                regs = (lat_ref, skips)
+                regs = (v_cfg, v_prev, sig_i, s_prev, lat_ref, skips)
             else:
                 # velocity caching (see sampler.py): warmup >= 1 always runs
                 # step 0, so the cache seed (zeros) is never consumed.
@@ -175,22 +176,35 @@ def make_inpaint_sampler(
                     run = always | ((i - vc_warmup) % vc_interval == 0)
 
                 def computed(_):
-                    return (compute_v_cfg(None), lat.astype(jnp.float32),
-                            jnp.zeros((), jnp.int32))
+                    v = compute_v_cfg(None)
+                    return v, (v, v_prev, sig_i, s_prev,
+                               lat.astype(jnp.float32), jnp.zeros((), jnp.int32))
 
                 def skipped(_):
-                    return v_prev, lat_ref, skips + 1
+                    if vc_linear:
+                        # first-order extrapolation over sigma from the last
+                        # two computed CFG velocities; degenerates to reuse
+                        # until two computes exist (seed carries s_prev2 == 0,
+                        # real schedule sigmas are > 0) — same rule as
+                        # sampler.py
+                        ds = s_prev - s_prev2
+                        inv = jnp.where(
+                            (jnp.abs(ds) > 1e-8) & (s_prev2 > 0.0),
+                            1.0 / ds, 0.0,
+                        )
+                        v = v_prev + (v_prev - v_prev2) * (inv * (sig_i - s_prev))
+                    else:
+                        v = v_prev
+                    return v, (v_prev, v_prev2, s_prev, s_prev2,
+                               lat_ref, skips + 1)
 
-                v_cfg, lat_ref_n, skips_n = jax.lax.cond(
-                    run, computed, skipped, operand=None
-                )
-                regs = (lat_ref_n, skips_n)
+                v_cfg, regs = jax.lax.cond(run, computed, skipped, operand=None)
             # step 0: zero velocity (reference :1264-1270) — applied OUTSIDE
             # the cache so a skipped step 1+ never reuses the zeroed value.
             v = jnp.where(i > 0, v_cfg, jnp.zeros_like(v_cfg))
 
             dt = sigmas[i + 1] - sigmas[i]
-            return (lat + dt * v, v_cfg) + regs, None
+            return (lat + dt * v,) + regs, None
 
         rt_shapes = jax.eval_shape(
             run_reptext,
@@ -202,7 +216,10 @@ def make_inpaint_sampler(
 
         init = (
             latents.astype(jnp.float32),
-            jnp.zeros(latents.shape, jnp.float32),  # velocity cache seed
+            jnp.zeros(latents.shape, jnp.float32),  # v_prev (cache seed)
+            jnp.zeros(latents.shape, jnp.float32),  # v_prev2
+            jnp.zeros((), jnp.float32),             # sigma of v_prev
+            jnp.zeros((), jnp.float32),             # sigma of v_prev2
             jnp.zeros(latents.shape, jnp.float32),  # lat_ref (adaptive)
             jnp.zeros((), jnp.int32),               # consecutive skips
         )

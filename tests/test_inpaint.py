@@ -140,3 +140,12 @@ def test_inpaint_velocity_cache(pipeline):
                    velocity_cache_max_skip=2)(kw["conds"], **rest)
     d2 = np.abs(base.astype(np.int32) - skippy.astype(np.int32))
     assert d2.max() > 0 and d2.mean() < 64
+
+    # linear mode: skipped steps extrapolate from the last two computed CFG
+    # velocities — a third distinct trajectory (differs from both uncached
+    # and reuse-cached), still bounded
+    linear = build(4, 2, velocity_cache_mode="linear")(kw["conds"], **rest)
+    d3 = np.abs(base.astype(np.int32) - linear.astype(np.int32))
+    d4 = np.abs(cached.astype(np.int32) - linear.astype(np.int32))
+    assert d3.max() > 0 and d4.max() > 0
+    assert d3.mean() < 64
