@@ -212,7 +212,7 @@ def check_sp_model_forward():
           "incl. ControlNet residual injection)")
 
 
-def check_sp_sampler():
+def check_sp_sampler(sp: int = 8):
     """SEQUENCE-PARALLEL fused sampler: the whole denoise scan (CN + masks +
     base + Euler) under one shard_map with tokens sharded over sp must
     reproduce the single-device sampler's latents."""
@@ -260,7 +260,7 @@ def check_sp_sampler():
         make_txt2img_sampler(flux_apply, cn_apply, schedule, pipe_cfg)(*args))
 
     sp_flux_apply, sp_cn_apply, _, _ = build("ring")
-    mesh = make_sp_mesh(8)
+    mesh = make_sp_mesh(sp)
     got = np.asarray(jax.jit(make_sp_txt2img_sampler(
         sp_flux_apply, sp_cn_apply, schedule, pipe_cfg, mesh))(*args))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
