@@ -694,6 +694,17 @@ def main(verbose: bool = False):
                     "velocity_cache_acceptable"):
             if key in fid:
                 result["glyph_fidelity"][key] = fid[key]
+    # adaptive velocity-cache A/B (benchmarks/adaptive_cache_ab.py): measured
+    # trigger overhead + skip-mechanics speedup; recorded artifact, not
+    # re-measured per bench run (the trigger is weight-independent mechanics)
+    if os.path.isfile("benchmarks/adaptive_cache_ab.json"):
+        ab = json.loads(open("benchmarks/adaptive_cache_ab.json").read())
+        result["adaptive_cache"] = {
+            k: ab[k] for k in (
+                "trigger_overhead_pct", "speedup_adaptive_skip",
+                "ideal_adaptive_skip", "computed_steps",
+            ) if k in ab
+        }
     # trained-weights end-to-end proof (examples/overfit_e2e.py): the only
     # non-random-weight fidelity evidence available without network egress
     if os.path.isfile("benchmarks/overfit_e2e.json"):
