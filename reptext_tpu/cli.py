@@ -111,6 +111,11 @@ def main(argv=None) -> int:
                              "dp x tp device mesh (e.g. 2x4, or 'auto' = "
                              "1 x all local devices); the jitted samplers "
                              "then run tensor-parallel over ICI")
+    parser.add_argument("--sp-backend", choices=["ring", "ulysses"],
+                        default="ring",
+                        help="sequence-parallel attention for --shard spN: "
+                             "per-block K/V ppermute ring, or ulysses "
+                             "all-to-all head swap (needs heads %% sp == 0)")
     parser.add_argument("--attention-backend",
                         choices=["auto", "xla", "pallas"], default="auto",
                         help="attention impl: auto = Pallas flash kernel on "
@@ -367,7 +372,7 @@ def main(argv=None) -> int:
             from reptext_tpu.parallel import make_sp_mesh
 
             n = int(spec[2:]) if spec[2:] else len(_jax.devices())
-            pipeline.shard_for_sp(make_sp_mesh(n))
+            pipeline.shard_for_sp(make_sp_mesh(n), backend=args.sp_backend)
         else:
             if spec == "auto":
                 dp, tp = 1, len(_jax.devices())

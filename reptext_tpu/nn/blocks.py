@@ -128,17 +128,22 @@ class JointTransformerBlock(nn.Module):
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
 
-        if self.attention_backend == "ring":
+        if self.attention_backend in ("ring", "ulysses"):
             # Sequence-parallel path (inside a shard_map over the sp axis):
             # text tokens replicated, image tokens sharded; K/V exchange via
-            # the ppermute ring (parallel/sequence.py). RoPE is applied here
-            # (local tables) so roped K blocks rotate around the ring.
+            # the ppermute ring or an all-to-all head swap
+            # (parallel/sequence.py). RoPE is applied here (local tables) so
+            # roped K blocks travel through the collective.
             from reptext_tpu.ops.rope import apply_rope_half
-            from reptext_tpu.parallel.sequence import joint_ring_attention_local
+            from reptext_tpu.parallel.sequence import (
+                joint_ring_attention_local, joint_ulysses_attention_local)
 
+            sp_attn = (joint_ring_attention_local
+                       if self.attention_backend == "ring"
+                       else joint_ulysses_attention_local)
             q = apply_rope_half(q, rope_cos, rope_sin)
             k = apply_rope_half(k, rope_cos, rope_sin)
-            attn_t, attn_i = joint_ring_attention_local(
+            attn_t, attn_i = sp_attn(
                 q[:, :, :s_txt], k[:, :, :s_txt], v[:, :, :s_txt],
                 q[:, :, s_txt:], k[:, :, s_txt:], v[:, :, s_txt:],
             )
@@ -217,18 +222,23 @@ class SingleTransformerBlock(nn.Module):
         q = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_q")(q)
         k = RMSNorm(self.head_dim, param_dtype=self.param_dtype, name="norm_k")(k)
 
-        if self.attention_backend == "ring":
+        if self.attention_backend in ("ring", "ulysses"):
             if self.txt_len is None:
                 raise ValueError(
-                    "attention_backend='ring' needs txt_len on the single block"
+                    f"attention_backend={self.attention_backend!r} needs "
+                    "txt_len on the single block"
                 )
             from reptext_tpu.ops.rope import apply_rope_half
-            from reptext_tpu.parallel.sequence import joint_ring_attention_local
+            from reptext_tpu.parallel.sequence import (
+                joint_ring_attention_local, joint_ulysses_attention_local)
 
+            sp_attn = (joint_ring_attention_local
+                       if self.attention_backend == "ring"
+                       else joint_ulysses_attention_local)
             s_txt = self.txt_len
             q = apply_rope_half(q, rope_cos, rope_sin)
             k = apply_rope_half(k, rope_cos, rope_sin)
-            attn_t, attn_i = joint_ring_attention_local(
+            attn_t, attn_i = sp_attn(
                 q[:, :, :s_txt], k[:, :, :s_txt], v[:, :, :s_txt],
                 q[:, :, s_txt:], k[:, :, s_txt:], v[:, :, s_txt:],
             )

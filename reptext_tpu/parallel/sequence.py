@@ -255,6 +255,65 @@ def joint_ring_attention_local(
     return attn_t, attn_i
 
 
+def joint_ulysses_attention_local(
+    q_t: jax.Array,   # [B, H, S_txt, D] text queries (replicated over sp)
+    k_t: jax.Array,
+    v_t: jax.Array,
+    q_i: jax.Array,   # [B, H, S_img/n, D] local image shard
+    k_i: jax.Array,
+    v_i: jax.Array,
+    axis_name: str = "sp",
+) -> Tuple[jax.Array, jax.Array]:
+    """In-context MMDiT joint-sequence Ulysses (all-to-all head swap).
+
+    The SP alternative to :func:`joint_ring_attention_local` the blocks
+    dispatch to with ``attention_backend='ulysses'``: one all-to-all trades
+    each device's S_img/n token slice of all H heads for the FULL image
+    sequence of H/n heads; the replicated text tensors are sliced to the
+    local head group; attention over the whole joint sequence is then plain
+    (exact, single softmax — no online-softmax accumulation), and the
+    outputs swap back (all-to-all for image tokens, all-gather over heads
+    for the replicated text output). Two all-to-alls + one all-gather per
+    attention vs the ring's n-1 ppermutes per K/V — the better trade when
+    H % sp == 0 and the full-sequence K/V of H/n heads fits HBM; the ring
+    wins when n is large or heads don't divide. Numerics: exact softmax, so
+    parity with the single-device backend is limited only by dtype.
+    """
+    n = jax.lax.axis_size(axis_name)
+    h = q_t.shape[1]
+    if h % n:
+        raise ValueError(f"ulysses needs heads % sp == 0, got {h} % {n}")
+    hn = h // n
+    r = jax.lax.axis_index(axis_name)
+
+    def a2a_in(x):   # [B, H, S_img/n, D] -> [B, H/n, S_img, D]
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    def slice_heads(x):  # local head group of a replicated text tensor
+        return jax.lax.dynamic_slice_in_dim(x, r * hn, hn, axis=1)
+
+    q = jnp.concatenate([slice_heads(q_t), a2a_in(q_i)], axis=2)
+    k = jnp.concatenate([slice_heads(k_t), a2a_in(k_i)], axis=2)
+    v = jnp.concatenate([slice_heads(v_t), a2a_in(v_i)], axis=2)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    s_txt = q_t.shape[2]
+    # image tokens: back to the sequence shard; text tokens: every device
+    # needs ALL heads (the text stream is replicated) — gather head groups
+    # in device order, matching the slice order above.
+    attn_i = jax.lax.all_to_all(o[:, :, s_txt:], axis_name, split_axis=2,
+                                concat_axis=1, tiled=True).astype(q_i.dtype)
+    attn_t = jax.lax.all_gather(o[:, :, :s_txt].astype(q_t.dtype), axis_name,
+                                axis=1, tiled=True)
+    return attn_t, attn_i
+
+
 def sequence_parallel_forward(
     model,
     params,

@@ -201,12 +201,14 @@ class FluxRepTextPipeline:
                 )
         return self
 
-    def shard_for_sp(self, mesh=None, axis_name: str = "sp") -> "FluxRepTextPipeline":
+    def shard_for_sp(self, mesh=None, axis_name: str = "sp",
+                     backend: str = "ring") -> "FluxRepTextPipeline":
         """Sequence-parallel inference: the fused denoise scan runs under one
         shard_map with the image-token axis sharded over ``axis_name``.
 
         Rebuilds both models with ``attention_backend='ring'`` (per-block K/V
-        ppermute ring is the only communication — parallel/sequence.py) and
+        ppermute ring is the only communication — parallel/sequence.py) or
+        ``'ulysses'`` (all-to-all head swap; needs heads % sp == 0) and
         switches ``_get_sampler`` to ``make_sp_txt2img_sampler``. This is the
         >=2048^2 growth path: tokens scale with resolution^2, so sharding the
         sequence (not the weights) keeps per-chip attention memory flat.
@@ -228,9 +230,16 @@ class FluxRepTextPipeline:
             raise ValueError(
                 f"image sequence ({s_img} tokens) must divide the sp axis ({n})"
             )
+        if backend not in ("ring", "ulysses"):
+            raise ValueError(f"sp backend must be ring|ulysses, got {backend!r}")
+        if backend == "ulysses" and self.flux.config.num_attention_heads % n:
+            raise ValueError(
+                f"ulysses needs heads % sp == 0 "
+                f"({self.flux.config.num_attention_heads} % {n})"
+            )
         self.sp_mesh, self.sp_axis = mesh, axis_name
-        self.flux = self.flux.clone(attention_backend="ring")
-        self.controlnet = self.controlnet.clone(attention_backend="ring")
+        self.flux = self.flux.clone(attention_backend=backend)
+        self.controlnet = self.controlnet.clone(attention_backend=backend)
         for attr in ("_samplers", "_raw_samplers", "_chunk_samplers"):
             if hasattr(self, attr):
                 delattr(self, attr)

@@ -211,6 +211,19 @@ def check_sp_model_forward():
     print("sp model forward parity OK (ring attention inside the blocks, "
           "incl. ControlNet residual injection)")
 
+    # Ulysses backend: all-to-all head swap instead of the K/V ring. The
+    # tiny config has 4 heads, so shard over sp=4 (ulysses needs
+    # heads % sp == 0); exact softmax — same parity tolerance.
+    uly_model = FluxTransformer2D(CFG, attention_backend="ulysses")
+    mesh4 = make_sp_mesh(4)
+    got_u = np.asarray(jax.jit(lambda p, h: sequence_parallel_forward(
+        uly_model, p, h, inputs["encoder_hidden_states"],
+        inputs["pooled_projections"], inputs["timestep"], inputs["img_ids"],
+        inputs["txt_ids"], inputs["guidance"], mesh=mesh4,
+    ))(params, inputs["hidden_states"]))
+    np.testing.assert_allclose(got_u, want, rtol=1e-4, atol=1e-4)
+    print("sp model forward parity OK (ulysses all-to-all backend, sp=4)")
+
 
 def check_sp_sampler(sp: int = 8):
     """SEQUENCE-PARALLEL fused sampler: the whole denoise scan (CN + masks +
