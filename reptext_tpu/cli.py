@@ -366,13 +366,13 @@ def main(argv=None) -> int:
         spec = args.shard.lower()
         if spec.startswith("sp"):
             # sequence parallelism: tokens sharded, params replicated —
-            # the >=2048^2 long-context path (parallel/sequence.py)
-            if inpaint:
-                parser.error("--shard spN is txt2img/serve only")
+            # the >=2048^2 long-context path (parallel/sequence.py);
+            # works for txt2img, inpaint, and serve pipelines
             from reptext_tpu.parallel import make_sp_mesh
 
             n = int(spec[2:]) if spec[2:] else len(_jax.devices())
-            pipeline.shard_for_sp(make_sp_mesh(n), backend=args.sp_backend)
+            sp_mesh_obj = make_sp_mesh(n)
+            pipeline.shard_for_sp(sp_mesh_obj, backend=args.sp_backend)
         else:
             if spec == "auto":
                 dp, tp = 1, len(_jax.devices())
@@ -414,6 +414,10 @@ def main(argv=None) -> int:
                 inpaint_pipeline.quantize_weights()
             if mesh is not None:
                 inpaint_pipeline.shard_for_inference(mesh)
+            elif getattr(pipeline, "sp_mesh", None) is not None:
+                inpaint_pipeline.shard_for_sp(
+                    pipeline.sp_mesh, pipeline.sp_axis,
+                    backend=args.sp_backend)
 
         server = GenerationServer(
             pipeline, host=args.host, port=args.port, tokenizer=tokenizer,

@@ -228,10 +228,36 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
                     conditioning_scale=scale,
                 )
 
-            sample = make_inpaint_sampler(
-                flux_apply, rt_apply, inp_apply, schedule, cfg,
-                self.flux.config.num_layers, self.flux.config.num_single_layers,
-                self.inpaint_conditioning_scale, self.compute_dtype,
-            )
+            if getattr(self, "sp_mesh", None) is not None:
+                from reptext_tpu.sampling.sampler_inpaint import (
+                    make_sp_inpaint_sampler,
+                )
+
+                sample = make_sp_inpaint_sampler(
+                    flux_apply, rt_apply, inp_apply, schedule, cfg,
+                    self.flux.config.num_layers,
+                    self.flux.config.num_single_layers,
+                    self.sp_mesh, self.inpaint_conditioning_scale,
+                    self.sp_axis, self.compute_dtype,
+                )
+            else:
+                sample = make_inpaint_sampler(
+                    flux_apply, rt_apply, inp_apply, schedule, cfg,
+                    self.flux.config.num_layers,
+                    self.flux.config.num_single_layers,
+                    self.inpaint_conditioning_scale, self.compute_dtype,
+                )
             self._samplers[key] = jax.jit(sample)
         return self._samplers[key]
+
+    def shard_for_sp(self, mesh=None, axis_name: str = "sp",
+                     backend: str = "ring") -> "FluxRepTextInpaintPipeline":
+        """Sequence-parallel text editing: same as the txt2img pipeline's
+        mode (tokens sharded, params replicated), extended to the dual-
+        ControlNet true-CFG scan (make_sp_inpaint_sampler). The inpaint
+        ControlNet is rebuilt with the SP attention backend alongside the
+        base transformer and RepText net."""
+        super().shard_for_sp(mesh, axis_name, backend=backend)
+        self.inpaint_controlnet = self.inpaint_controlnet.clone(
+            attention_backend=backend)
+        return self

@@ -37,8 +37,13 @@ def make_inpaint_sampler(
     base_num_single_layers: int,
     inpaint_conditioning_scale: float = 1.0,
     compute_dtype: Any = jnp.float32,
+    signal_axis: Optional[str] = None,
 ) -> Callable:
     """Build the jitted dual-ControlNet CFG sampling function.
+
+    ``signal_axis``: mesh axis name when the loop runs inside a shard_map
+    (SP) — the adaptive-cache drift trigger is pmax'd over it so every shard
+    takes the same lax.cond branch (see sampler.py).
 
     The two ControlNets may have different depths; each residual stack is
     spread onto the base model's injection slots (ceil-interval mapping, the
@@ -171,6 +176,8 @@ def make_inpaint_sampler(
                     drift = jnp.mean(jnp.abs(lat - lat_ref), axis=(1, 2))
                     ref = jnp.mean(jnp.abs(lat_ref), axis=(1, 2))
                     rel = jnp.max(drift / (ref + 1e-8))
+                    if signal_axis is not None:
+                        rel = jax.lax.pmax(rel, signal_axis)
                     run = always | (rel >= vc_threshold) | (skips >= vc_max_skip)
                 else:
                     run = always | ((i - vc_warmup) % vc_interval == 0)
@@ -225,5 +232,56 @@ def make_inpaint_sampler(
         )
         (latents_out, *_), _ = jax.lax.scan(step, init, jnp.arange(num_steps))
         return latents_out
+
+    return sample
+
+
+def make_sp_inpaint_sampler(
+    flux_apply: Callable,
+    reptext_cn_apply: Callable,
+    inpaint_cn_apply: Callable,
+    schedule: FlowMatchSchedule,
+    pipe_cfg: PipelineConfig,
+    base_num_layers: int,
+    base_num_single_layers: int,
+    mesh,
+    inpaint_conditioning_scale: float = 1.0,
+    axis_name: str = "sp",
+    compute_dtype: Any = jnp.float32,
+) -> Callable:
+    """SEQUENCE-PARALLEL variant of the inpaint sampler: the whole dual-
+    ControlNet true-CFG scan runs under ONE ``shard_map`` with the image
+    token axis sharded over ``axis_name`` (mirror of
+    sampler.make_sp_txt2img_sampler — all three models must be built with an
+    SP ``attention_backend`` ('ring' or 'ulysses'); everything outside
+    attention is per-token and collective-free on the local shard). The
+    reference inpaint loop is strictly single-GPU
+    (RepText/pipeline_flux_controlnet_inpaint.py:1160-1274); this is the
+    >=2048^2 growth path applied to text editing.
+    """
+    import jax.sharding as _sh
+
+    P = _sh.PartitionSpec
+    base = make_inpaint_sampler(
+        flux_apply, reptext_cn_apply, inpaint_cn_apply, schedule, pipe_cfg,
+        base_num_layers, base_num_single_layers, inpaint_conditioning_scale,
+        compute_dtype, signal_axis=axis_name,
+    )
+    tok = P(None, axis_name, None)   # [B/N, S, C] latents / conds / masks
+    ids = P(axis_name, None)         # [S, 3] image RoPE ids
+
+    def sample(flux_params, reptext_params, inpaint_params, latents,
+               cond_tokens, token_masks, inpaint_cond, prompt_embeds_cfg,
+               pooled_embeds_cfg, txt_ids, img_ids, guidance):
+        return jax.shard_map(
+            base,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), tok, tok, tok, tok,
+                      P(), P(), P(), ids, P()),
+            out_specs=tok,
+            check_vma=False,
+        )(flux_params, reptext_params, inpaint_params, latents, cond_tokens,
+          token_masks, inpaint_cond, prompt_embeds_cfg, pooled_embeds_cfg,
+          txt_ids, img_ids, guidance)
 
     return sample

@@ -344,6 +344,51 @@ def check_sp_pipeline():
     print("pipeline-level SP parity OK (shard_for_sp sampler + resolution view)")
 
 
+def check_sp_inpaint_pipeline():
+    """SP applied to TEXT EDITING: FluxRepTextInpaintPipeline.shard_for_sp
+    runs the dual-ControlNet true-CFG scan under one shard_map
+    (make_sp_inpaint_sampler); sharded latents must match the unsharded
+    pipeline."""
+    import dataclasses
+
+    from reptext_tpu.configs import (
+        CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config,
+        VAEConfig,
+    )
+    from reptext_tpu.conditioning import TextLine, build_conditions
+    from reptext_tpu.parallel import make_sp_mesh
+    from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
+
+    pipe = FluxRepTextInpaintPipeline.create_inpaint(
+        inpaint_cn_cfg=dataclasses.replace(
+            ControlNetConfig().tiny(), extra_condition_channels=4),
+        flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=64, width=64, num_inference_steps=2,
+                                controlnet_conditioning_step=1,
+                                true_guidance_scale=3.0),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+    )
+    conds = build_conditions([TextLine("Hi", (8, 16), font_size=24)], 64, 64)
+    r = np.random.default_rng(0)
+    image = r.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    kw = dict(
+        image=image, mask=mask,
+        clip_ids=jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32),
+        t5_ids=jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32),
+        negative_clip_ids=jnp.asarray([[2, 255, 0, 0, 0, 0, 0, 0]], jnp.int32),
+        negative_t5_ids=jnp.asarray([[4, 1, 0, 0, 0, 0]], jnp.int32),
+        seed=7, output_type="latent",
+    )
+    want = np.asarray(pipe(conds, **kw))
+    pipe.shard_for_sp(make_sp_mesh(8))
+    got = np.asarray(pipe(conds, **kw))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    print("SP inpaint pipeline parity OK (dual-CN true-CFG scan sequence-sharded)")
+
+
 def check_sharded_cn_train_step(parity: bool = True):
     """ControlNet training (frozen base) under dp=2 x tp=4: sharded loss and
     updated params match the single-device step (the cli.py --mode train
@@ -437,6 +482,7 @@ def main():
     check_sp_sampler()
     check_pipeline_tp_inference()
     check_sp_pipeline()
+    check_sp_inpaint_pipeline()
     check_sharded_cn_train_step()
     print("ALL MESH SCENARIOS OK")
 
