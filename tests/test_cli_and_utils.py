@@ -64,6 +64,37 @@ def test_cli_argument_validation():
 
 
 @pytest.mark.slow
+def test_cli_sp_inpaint_generation(tmp_path):
+    """End-to-end CLI inpaint with --shard sp8: the sequence-parallel dual-CN
+    CFG sampler runs on the 8-device CPU mesh and writes an image."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import numpy as np
+    from PIL import Image
+
+    from reptext_tpu.cli import main
+
+    img = tmp_path / "in.png"
+    msk = tmp_path / "mask.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(60, 200, (64, 64, 3)).astype(np.uint8)
+    ).save(img)
+    m = np.zeros((64, 64), np.uint8)
+    m[16:48, 16:48] = 255
+    Image.fromarray(m).save(msk)
+    out = tmp_path / "out.png"
+    rc = main([
+        "--mode", "inpaint", "--tiny", "--random-weights",
+        "--image", str(img), "--mask", str(msk),
+        "--text", "Hi", "--position", "20", "24", "--steps", "2",
+        "--font-size", "24", "--shard", "sp8", "--output", str(out),
+    ])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
+
+
+@pytest.mark.slow
 def test_cli_sharded_generation(tmp_path):
     """End-to-end CLI txt2img with --shard 2x4: the sharded sampler runs on
     the 8-device CPU mesh and writes an image."""
