@@ -291,12 +291,13 @@ def make_sp_txt2img_sampler(
     update) runs under ONE ``shard_map`` with the image-token axis sharded
     over ``axis_name``.
 
-    Both models must be constructed with ``attention_backend='ring'``: the
-    blocks then exchange K/V via the ppermute ring
-    (parallel/sequence.joint_ring_attention_local) while every other op in
-    the loop — embedders, AdaLN, FFs, residual heads, regional masks, the
-    Euler update — is per-token and runs collective-free on the local shard.
-    The K/V ring is the ONLY communication per block per step.
+    Both models must be constructed with an SP ``attention_backend`` —
+    ``'ring'`` (K/V ppermute, parallel/sequence.joint_ring_attention_local)
+    or ``'ulysses'`` (all-to-all head swap, joint_ulysses_attention_local;
+    needs heads % sp == 0) — while every other op in the loop — embedders,
+    AdaLN, FFs, residual heads, regional masks, the Euler update — is
+    per-token and runs collective-free on the local shard. The per-block
+    attention exchange is the ONLY communication per step.
 
     This is the >=2048^2 multi-chip growth path (SURVEY.md §2.3/§5) as an
     actual runnable pipeline stage, not just a standalone attention kernel;
