@@ -57,6 +57,10 @@ def main(argv=None) -> int:
     parser.add_argument("--controlnet-mode", type=int, default=None,
                         help="union-mode conditioning-type index (required "
                              "when the loaded ControlNet is a union model)")
+    parser.add_argument("--control-guidance-start", type=float, default=0.0,
+                        help="step fraction at which the ControlNet turns on")
+    parser.add_argument("--control-guidance-end", type=float, default=1.0,
+                        help="step fraction at which the ControlNet turns off")
     parser.add_argument("--velocity-cache-interval", type=int, default=1,
                         help="run the transformer every k-th step after warmup, "
                              "reusing the last velocity between (1 = off)")
@@ -238,6 +242,8 @@ def main(argv=None) -> int:
         controlnet_conditioning_scale=args.controlnet_scale,
         controlnet_conditioning_step=args.controlnet_step,
         control_mode=args.controlnet_mode,
+        control_guidance_start=args.control_guidance_start,
+        control_guidance_end=args.control_guidance_end,
         true_guidance_scale=args.true_guidance_scale,
         velocity_cache_interval=args.velocity_cache_interval,
         velocity_cache_warmup=args.velocity_cache_warmup,

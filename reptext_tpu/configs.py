@@ -249,6 +249,15 @@ class PipelineConfig:
     # ControlNet runs only for the first N steps
     # (reference: RepText/pipeline_flux_controlnet.py:1042-1058).
     controlnet_conditioning_step: int = 25
+    # Step-fraction window during which the ControlNet is applied, matching
+    # the diffusers `control_guidance_start/end` kwargs the reference exposes
+    # (RepText/pipeline_flux_controlnet.py:760-761,999-1005: keep[i] = 1 iff
+    # i/T >= start and (i+1)/T <= end). Combined with the step gate above —
+    # a step's ControlNet runs only when BOTH allow it. Unlike the reference
+    # (which scales residuals), gated-off steps skip the ControlNet forward
+    # entirely via lax.cond on a precomputed per-step mask.
+    control_guidance_start: float = 0.0
+    control_guidance_end: float = 1.0
     # Union-mode conditioning-type index, required when the loaded ControlNet
     # is union (ControlNetConfig.num_mode is not None); the mode-token row
     # selected from controlnet_mode_embedder

@@ -34,6 +34,11 @@ class ControlNetEntry:
     conditioning_scale: float = 1.0
     # union-mode nets take a mode index per call (reference :294-301)
     uses_mode: bool = False
+    # per-net step-fraction window (diffusers control_guidance_start/end,
+    # reference pipeline :760-761,999-1005: active iff i/T >= start and
+    # (i+1)/T <= end). Applied when __call__ receives step_index/num_steps.
+    guidance_start: float = 0.0
+    guidance_end: float = 1.0
 
 
 class MultiControlNet:
@@ -64,7 +69,14 @@ class MultiControlNet:
         guidance: Optional[jax.Array] = None,
         token_masks: Optional[Sequence[Optional[jax.Array]]] = None,  # [S,1] each
         modes: Optional[Sequence[Optional[jax.Array]]] = None,
+        step_index: Optional[jax.Array] = None,   # traced scan step i
+        num_steps: Optional[int] = None,          # static schedule length T
     ) -> Tuple[jax.Array, jax.Array]:
+        """When ``step_index``/``num_steps`` are given, each entry's residuals
+        are gated by its (guidance_start, guidance_end) window — the
+        per-controlnet keep list of the reference pipeline
+        (RepText/pipeline_flux_controlnet.py:999-1005). The gate is a traced
+        0/1 multiply so the composite stays one jit/scan-safe graph."""
         if len(params_list) != len(self.entries) or len(conds) != len(self.entries):
             raise ValueError("params/conds count must match entries")
         masks = token_masks or [None] * len(self.entries)
@@ -86,6 +98,16 @@ class MultiControlNet:
             if mask is not None:
                 block = block * mask.astype(block.dtype)
                 single = single * mask.astype(single.dtype)
+            if step_index is not None and num_steps is not None and (
+                entry.guidance_start > 0.0 or entry.guidance_end < 1.0
+            ):
+                frac = step_index / num_steps
+                keep = (
+                    (frac >= entry.guidance_start)
+                    & ((step_index + 1) / num_steps <= entry.guidance_end)
+                )
+                block = block * keep.astype(block.dtype)
+                single = single * keep.astype(single.dtype)
             block = _spread_residuals(block, self.base_num_layers)
             single = _spread_residuals(single, self.base_num_single_layers)
             block_sum = block if block_sum is None else block_sum + block

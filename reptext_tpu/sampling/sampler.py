@@ -41,6 +41,22 @@ from reptext_tpu.configs import PipelineConfig
 from reptext_tpu.sampling.flow_match import FlowMatchSchedule
 
 
+def _cn_active_mask(pipe_cfg, num_steps: int, gate_step: int) -> jax.Array:
+    """Static per-step ControlNet on/off mask.
+
+    Intersects the step gate (``controlnet_conditioning_step``,
+    RepText/pipeline_flux_controlnet.py:1042) with the diffusers
+    fraction window (``control_guidance_start/end``, reference :999-1005:
+    keep iff i/T >= start and (i+1)/T <= end). Precomputed on the host so
+    the scan body pays one bool gather per step.
+    """
+    cg_s = float(getattr(pipe_cfg, "control_guidance_start", 0.0))
+    cg_e = float(getattr(pipe_cfg, "control_guidance_end", 1.0))
+    idx = jnp.arange(num_steps)
+    keep = (idx / num_steps >= cg_s) & ((idx + 1) / num_steps <= cg_e)
+    return (idx < gate_step) & keep
+
+
 def make_txt2img_sampler(
     flux_apply: Callable,
     controlnet_apply: Callable,
@@ -65,6 +81,7 @@ def make_txt2img_sampler(
     timesteps = jnp.asarray(schedule.timesteps, jnp.float32)
     num_steps = schedule.num_steps
     gate_step = min(pipe_cfg.controlnet_conditioning_step, num_steps)
+    cn_active = _cn_active_mask(pipe_cfg, num_steps, gate_step)
     cond_scale = pipe_cfg.controlnet_conditioning_scale
     vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
     vc_warmup = max(getattr(pipe_cfg, "velocity_cache_warmup", 8), 1)
@@ -157,7 +174,7 @@ def make_txt2img_sampler(
 
             def compute_velocity(_):
                 block_res, single_res = jax.lax.cond(
-                    i < gate_step, with_cn, without_cn, operand=None
+                    cn_active[i], with_cn, without_cn, operand=None
                 )
                 args = (
                     flux_params, x_model, ctx, pooled, t_b,

@@ -56,6 +56,8 @@ def make_inpaint_sampler(
     timesteps = jnp.asarray(schedule.timesteps, jnp.float32)
     num_steps = schedule.num_steps
     gate_step = min(pipe_cfg.controlnet_conditioning_step, num_steps)
+    from reptext_tpu.sampling.sampler import _cn_active_mask
+    cn_active = _cn_active_mask(pipe_cfg, num_steps, gate_step)
     cond_scale = pipe_cfg.controlnet_conditioning_scale
     true_scale = pipe_cfg.true_guidance_scale
     vc_interval = max(getattr(pipe_cfg, "velocity_cache_interval", 1), 1)
@@ -136,7 +138,7 @@ def make_inpaint_sampler(
 
             def compute_v_cfg(_):
                 block_res, single_res = jax.lax.cond(
-                    i < gate_step, with_rt, without_rt, operand=None
+                    cn_active[i], with_rt, without_rt, operand=None
                 )
 
                 blk_i, sgl_i = inpaint_cn_apply(

@@ -96,3 +96,32 @@ def test_mask_gates_residuals():
     )
     np.testing.assert_array_equal(np.asarray(block), 0.0)
     np.testing.assert_array_equal(np.asarray(single), 0.0)
+
+
+def test_per_entry_guidance_window():
+    """Entry windows gate residuals by step fraction (reference keep list,
+    RepText/pipeline_flux_controlnet.py:999-1005)."""
+    m1, p1 = _make_cn(CN_CFG, 0, CN_CFG.in_channels + CN_CFG.extra_condition_channels)
+    inp = _common_inputs()
+    c1 = jnp.ones((B, S_IMG, CN_CFG.in_channels + CN_CFG.extra_condition_channels))
+
+    def run(entry, step_index):
+        multi = MultiControlNet(
+            [entry], FLUX_CFG.num_layers, FLUX_CFG.num_single_layers
+        )
+        return multi(
+            [p1], inp["hidden_states"], [c1],
+            inp["encoder_hidden_states"], inp["pooled_projections"],
+            inp["timestep"], inp["img_ids"], inp["txt_ids"], inp["guidance"],
+            step_index=jnp.asarray(step_index), num_steps=10,
+        )
+
+    early = ControlNetEntry(m1, 1.0, guidance_start=0.0, guidance_end=0.5)
+    # inside the window: matches an unwindowed entry
+    b_in, s_in = run(early, 2)
+    b_ref, s_ref = run(ControlNetEntry(m1, 1.0), 2)
+    np.testing.assert_allclose(np.asarray(b_in), np.asarray(b_ref), rtol=1e-6)
+    # outside the window: residuals zeroed
+    b_out, s_out = run(early, 7)
+    np.testing.assert_array_equal(np.asarray(b_out), 0.0)
+    np.testing.assert_array_equal(np.asarray(s_out), 0.0)
