@@ -229,6 +229,13 @@ def main(argv=None) -> int:
     parser.add_argument("--flux-dir", default=None,
                         help="override: transformer snapshot dir (else "
                              "<pipeline-dir>/transformer)")
+    parser.add_argument("--flux-single-file", default=None, metavar="PATH",
+                        help="BFL single-file transformer checkpoint "
+                             "(flux1-dev.safetensors original naming, "
+                             "optionally ComfyUI-wrapped, or diffusers "
+                             "naming) instead of a snapshot dir — the "
+                             "reference's FromSingleFileMixin surface; "
+                             "geometry is inferred from the weights")
     parser.add_argument("--vae-dir", default=None)
     parser.add_argument("--clip-dir", default=None)
     parser.add_argument("--t5-dir", default=None)
@@ -265,7 +272,11 @@ def main(argv=None) -> int:
 
     plan = []  # (component_name, source_dir, config_fn, convert_fn)
     flux_dir = comp_dir(args.flux_dir, "transformer")
-    if flux_dir:
+    if args.flux_single_file:
+        plan.append(("flux", args.flux_single_file, None,
+                     C.convert_flux_transformer))
+        flux_dir = None
+    elif flux_dir:
         plan.append(("flux", flux_dir, flux_config_from_hf,
                      C.convert_flux_transformer))
     vae_dir = comp_dir(args.vae_dir, "vae")
@@ -299,12 +310,26 @@ def main(argv=None) -> int:
     # one component at a time: a full bf16 FLUX.1-dev state is ~24 GB host
     # RAM; converting sequentially keeps peak memory at one component.
     for name, src, cfg_fn, conv_fn in plan:
-        hf_cfg = _read_config(src)
-        cfg = cfg_fn(hf_cfg)
-        if not hf_cfg:
-            print(f"[{name}] no config.json in {src}; using library defaults",
-                  file=sys.stderr)
-        state = C.load_safetensors_state(src, dtype=None)
+        if name == "flux" and args.flux_single_file:
+            from reptext_tpu.io.single_file import (
+                bfl_flux_to_diffusers,
+                flux_config_from_state,
+                is_bfl_flux,
+                strip_wrapper_prefixes,
+            )
+
+            state = strip_wrapper_prefixes(
+                C.load_safetensors_state(src, dtype=None))
+            if is_bfl_flux(state):
+                state = bfl_flux_to_diffusers(state)
+            cfg = flux_config_from_state(state)
+        else:
+            hf_cfg = _read_config(src)
+            cfg = cfg_fn(hf_cfg)
+            if not hf_cfg:
+                print(f"[{name}] no config.json in {src}; using library "
+                      "defaults", file=sys.stderr)
+            state = C.load_safetensors_state(src, dtype=None)
         n_params = sum(int(np.prod(v.shape)) for v in state.values())
         tree = conv_fn(state, cfg)
         del state
