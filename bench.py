@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 
@@ -716,7 +717,20 @@ def main(verbose: bool = False):
                 "vae_recon_psnr_db", "protocol",
             ) if k in ov
         }
-    print(json.dumps(result))
+    print(json.dumps(_drop_nonfinite(result)))
+
+
+def _drop_nonfinite(obj):
+    """Replace non-finite floats with None so the output line is STRICT
+    JSON (json.dumps happily emits NaN/Infinity, which many parsers —
+    including the driver's — reject)."""
+    if isinstance(obj, dict):
+        return {k: _drop_nonfinite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_drop_nonfinite(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
 import sys
 import time
 from pathlib import Path
@@ -342,7 +343,14 @@ def main(argv=None) -> int:
               flush=True)
         saved = load_pipeline_params(args.params_cache)
         pipe.params["vae"] = saved["vae"]
-        psnr = float("nan")
+        # keep the previously measured PSNR (cache reuse skips VAE training;
+        # NaN here would leak into bench.py's strict-JSON line)
+        psnr = None
+        if os.path.isfile("benchmarks/overfit_e2e.json"):
+            prev = json.load(open("benchmarks/overfit_e2e.json")).get(
+                "vae_recon_psnr_db")
+            if isinstance(prev, (int, float)) and math.isfinite(prev):
+                psnr = float(prev)
         random_params = {"flux": pipe.params["flux"],
                          "controlnet": pipe.params["controlnet"]}
         batch = precompute_batch(pipe, samples)
@@ -397,7 +405,7 @@ def main(argv=None) -> int:
     out = {
         "protocol": "overfit-memorization, K=%d pairs, %d^2, %d sample steps"
                     % (len(samples), args.size, args.steps_sample),
-        "vae_recon_psnr_db": round(psnr, 2),
+        "vae_recon_psnr_db": None if psnr is None else round(psnr, 2),
         "train_steps_vae": args.steps_vae,
         "train_steps_flux": args.steps_flux,
         "ocr_loss_weight": args.ocr_loss_weight,

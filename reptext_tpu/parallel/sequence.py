@@ -331,7 +331,8 @@ def sequence_parallel_forward(
 ):
     """Run a FluxTransformer2D forward with the IMAGE SEQUENCE sharded.
 
-    ``model`` must be constructed with ``attention_backend='ring'``. Params
+    ``model`` must be constructed with ``attention_backend='ring'`` or
+    ``'ulysses'`` (both block-level SP paths, nn/blocks.py:131). Params
     and text-side inputs are replicated; packed latents, image RoPE ids, and
     any ControlNet residual stacks shard over ``axis_name`` (residual
     injection is per-token, so token-sharded stacks compose with the ring

@@ -137,6 +137,7 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         true_guidance_scale: Optional[float] = None,
         num_inference_steps: Optional[int] = None,
         output_type: str = "np",
+        latents: Optional[jax.Array] = None,
     ) -> np.ndarray:
         if image is None or mask is None:
             raise ValueError("inpaint pipeline requires `image` and `mask`")
@@ -167,7 +168,12 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         r_lat, r_cond, r_glyph, r_inp = jax.random.split(rng, 4)
         cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
         inpaint_cond = self.prepare_inpaint_cond(image, mask, r_inp)
-        latents = self.prepare_latents(r_lat, 1, conditions.glyph_canvas, r_glyph)
+        if latents is None:
+            # pre-made packed noise (reference `latents` kwarg,
+            # RepText/pipeline_flux_controlnet_inpaint.py:891) overrides
+            # seed-derived noise — reproducible across frameworks
+            latents = self.prepare_latents(
+                r_lat, 1, conditions.glyph_canvas, r_glyph)
 
         img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
         txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))

@@ -489,6 +489,7 @@ class FluxRepTextPipeline:
         output_type: str = "np",
         ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 1.0,
+        latents: Optional[jax.Array] = None,
     ) -> np.ndarray:
         """Generate images. Either embeddings or token ids must be provided.
 
@@ -520,14 +521,18 @@ class FluxRepTextPipeline:
         t_start = 0
         if init_image is not None and strength < 1.0:
             t_start = min(int(steps * (1.0 - strength)), steps - 1)
-            noise = self.prepare_latents(r_lat, num_images, None, None)
+            noise = (latents if latents is not None
+                     else self.prepare_latents(r_lat, num_images, None, None))
             img = jnp.asarray(preprocess_images(init_image))
             img_lat = self._encode_scaled(img, r_glyph).transpose(0, 3, 1, 2)
             img_packed = pack_latents(jnp.broadcast_to(
                 img_lat, (num_images,) + img_lat.shape[1:]))
             sigma0 = float(schedule.sigmas[t_start])
             latents = sigma0 * noise + (1.0 - sigma0) * img_packed
-        else:
+        elif latents is None:
+            # `latents` kwarg: pre-made packed noise (reference
+            # pipeline_flux_controlnet.py:768) replaces seed-derived noise
+            # (and the glyph-latent init, which the caller owns in that case)
             latents = self.prepare_latents(
                 r_lat, num_images, conditions.glyph_canvas, r_glyph
             )

@@ -123,3 +123,22 @@ def test_generate_batch_rejects_mismatched_lines(pipeline, conditions):
     with pytest.raises(ValueError, match="num_lines"):
         pipeline.generate_batch([conditions, conds_two], clip_ids=clip_ids,
                                 t5_ids=t5_ids, seeds=[1, 2])
+
+
+def test_explicit_latents_override(pipeline, conditions):
+    """`latents=` kwarg (reference pipeline_flux_controlnet.py:768): caller-
+    provided packed noise makes the seed irrelevant — identical outputs from
+    different seeds, different from the seed-derived run."""
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    kw = dict(conditions=conditions, clip_ids=clip_ids, t5_ids=t5_ids,
+              num_images=1, output_type="latent")
+    noise = jax.random.normal(
+        jax.random.PRNGKey(123),
+        (1, 16, 4 * VAEConfig().tiny().latent_channels),
+    )
+    a = pipeline(seed=1, latents=noise, **kw)
+    b = pipeline(seed=2, latents=noise, **kw)
+    c = pipeline(seed=1, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (np.asarray(a) != np.asarray(c)).any()
