@@ -4,7 +4,8 @@ Times the REAL fused sampler (bench.build_sampler — lax.scan, CN gating,
 regional masking, Euler) at reduced depth / 1024² / 30 steps in four modes:
 
   uncached        interval=1 (the headline configuration)
-  fixed           interval=2, warmup=8 → 19/30 computed steps
+  fixed           interval=2, warmup=8 → 20/30 computed steps
+                  (8 warmup + every 2nd of steps 8..29 + final)
   adaptive-0      adaptive, threshold=0 → trigger fires every step: every
                   step computes. Isolates the TRIGGER OVERHEAD (per-step
                   scalar L1 reduction + lax.cond wrapper) vs uncached.

@@ -174,6 +174,18 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
             # seed-derived noise — reproducible across frameworks
             latents = self.prepare_latents(
                 r_lat, 1, conditions.glyph_canvas, r_glyph)
+        else:
+            expect = (1, cfg.image_seq_len,
+                      4 * self.vae.config.latent_channels)
+            if tuple(latents.shape) != expect:
+                raise ValueError(
+                    f"latents must be PACKED noise of shape {expect} "
+                    f"(= [1, (H/16)*(W/16), 4*latent_channels] for "
+                    f"{cfg.height}x{cfg.width}); got {tuple(latents.shape)}. "
+                    "Use reptext_tpu.ops.latents.pack_latents on "
+                    "[B, C, H/8, W/8] latents."
+                )
+            latents = jnp.asarray(latents, jnp.float32)
 
         img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
         txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))

@@ -518,6 +518,19 @@ class FluxRepTextPipeline:
         sampler = self._get_sampler(steps)
         schedule = self._schedules[steps]
 
+        if latents is not None:
+            expect = (num_images, cfg.image_seq_len,
+                      4 * self.vae.config.latent_channels)
+            if tuple(latents.shape) != expect:
+                raise ValueError(
+                    f"latents must be PACKED noise of shape {expect} "
+                    f"(= [num_images, (H/16)*(W/16), 4*latent_channels] for "
+                    f"{cfg.height}x{cfg.width}); got {tuple(latents.shape)}. "
+                    "Use reptext_tpu.ops.latents.pack_latents on "
+                    "[B, C, H/8, W/8] latents."
+                )
+            latents = jnp.asarray(latents, jnp.float32)
+
         t_start = 0
         if init_image is not None and strength < 1.0:
             t_start = min(int(steps * (1.0 - strength)), steps - 1)

@@ -57,6 +57,62 @@ def _cn_active_mask(pipe_cfg, num_steps: int, gate_step: int) -> jax.Array:
     return (idx < gate_step) & keep
 
 
+def _velocity_cache_select(
+    compute_fn, carry_regs, lat, sig_i, i, always, *,
+    vc_adaptive, vc_linear, vc_warmup, vc_interval, vc_threshold,
+    vc_max_skip, signal_axis,
+):
+    """Shared velocity-cache trigger + register rotation (txt2img & inpaint).
+
+    ``carry_regs = (v_prev, v_prev2, s_prev, s_prev2, lat_ref, skips)`` holds
+    the last two COMPUTED velocities, the sigmas they were computed at, the
+    adaptive trigger's latent reference, and the consecutive-skip counter.
+    Returns ``(velocity, new_regs)``; extrapolated values never enter the
+    registers (no compounding).
+    """
+    v_prev, v_prev2, s_prev, s_prev2, lat_ref, skips = carry_regs
+    if vc_adaptive:
+        # TeaCache-family in-graph trigger: skip while the latents' relative
+        # L1 drift since the last COMPUTED step stays under the threshold
+        # (max over the batch — a coalesced batch never skips past any
+        # member's drift), bounded by vc_max_skip consecutive skips.
+        drift = jnp.mean(jnp.abs(lat - lat_ref), axis=(1, 2))
+        ref = jnp.mean(jnp.abs(lat_ref), axis=(1, 2))
+        if signal_axis is not None:
+            # Under SP the token axis is sharded: reconstruct the GLOBAL
+            # per-image means (equal shards => mean of shard means) so the
+            # trigger matches the single-device trajectory the threshold was
+            # calibrated on. A max of shard-local ratios would fire earlier
+            # wherever drift is unevenly distributed over the sequence.
+            drift = jax.lax.pmean(drift, signal_axis)
+            ref = jax.lax.pmean(ref, signal_axis)
+        rel = jnp.max(drift / (ref + 1e-8))
+        run = always | (rel >= vc_threshold) | (skips >= vc_max_skip)
+    else:
+        run = always | ((i - vc_warmup) % vc_interval == 0)
+
+    def computed(_):
+        v = compute_fn(None)
+        return v, (v, v_prev, sig_i, s_prev,
+                   lat.astype(jnp.float32), jnp.zeros((), jnp.int32))
+
+    def skipped(_):
+        if vc_linear:
+            # first-order extrapolation over sigma from the last two computed
+            # velocities; degenerates to reuse until two computes exist (the
+            # seed register carries s_prev2 == 0, real schedule sigmas are > 0)
+            ds = s_prev - s_prev2
+            inv = jnp.where(
+                (jnp.abs(ds) > 1e-8) & (s_prev2 > 0.0), 1.0 / ds, 0.0,
+            )
+            v = v_prev + (v_prev - v_prev2) * (inv * (sig_i - s_prev))
+        else:
+            v = v_prev
+        return v, (v_prev, v_prev2, s_prev, s_prev2, lat_ref, skips + 1)
+
+    return jax.lax.cond(run, computed, skipped, operand=None)
+
+
 def make_txt2img_sampler(
     flux_apply: Callable,
     controlnet_apply: Callable,
@@ -73,9 +129,10 @@ def make_txt2img_sampler(
     (e.g. functools.partial(model.apply)).
 
     ``signal_axis``: mesh axis name when the sampler body runs inside a
-    shard_map (SP) — the adaptive-cache trigger is pmax'd over it so every
-    shard takes the same lax.cond branch (the model forward contains
-    collectives; divergent branches would deadlock).
+    shard_map (SP) — the adaptive-cache drift means are pmean'd over it
+    (reconstructing the global drift) so every shard takes the same lax.cond
+    branch (the model forward contains collectives; divergent branches would
+    deadlock).
     """
     sigmas = jnp.asarray(schedule.sigmas, jnp.float32)
     timesteps = jnp.asarray(schedule.timesteps, jnp.float32)
@@ -195,44 +252,15 @@ def make_txt2img_sampler(
                 # scan chunk (the carried velocity is zeros at a chunk
                 # boundary, never a valid cache entry).
                 always = (i < vc_warmup) | (i >= num_steps - 1) | (local == 0)
-                if vc_adaptive:
-                    # TeaCache-family in-graph trigger: skip while the
-                    # latents' relative L1 drift since the last COMPUTED step
-                    # stays under the threshold (max over the batch — a
-                    # coalesced batch never skips past any member's drift),
-                    # bounded by vc_max_skip consecutive skips.
-                    drift = jnp.mean(jnp.abs(lat - lat_ref), axis=(1, 2))
-                    ref = jnp.mean(jnp.abs(lat_ref), axis=(1, 2))
-                    rel = jnp.max(drift / (ref + 1e-8))
-                    if signal_axis is not None:
-                        rel = jax.lax.pmax(rel, signal_axis)
-                    run = always | (rel >= vc_threshold) | (skips >= vc_max_skip)
-                else:
-                    run = always | ((i - vc_warmup) % vc_interval == 0)
-
-                def computed(_):
-                    v = compute_velocity(None)
-                    return v, (v, v_prev, sig_i, s_prev,
-                               lat.astype(jnp.float32), jnp.zeros((), jnp.int32))
-
-                def skipped(_):
-                    if vc_linear:
-                        # first-order extrapolation over sigma from the last
-                        # two computed velocities; degenerates to reuse until
-                        # two computes exist (the seed register carries
-                        # s_prev2 == 0, and real schedule sigmas are > 0)
-                        ds = s_prev - s_prev2
-                        inv = jnp.where(
-                            (jnp.abs(ds) > 1e-8) & (s_prev2 > 0.0),
-                            1.0 / ds, 0.0,
-                        )
-                        v = v_prev + (v_prev - v_prev2) * (inv * (sig_i - s_prev))
-                    else:
-                        v = v_prev
-                    return v, (v_prev, v_prev2, s_prev, s_prev2,
-                               lat_ref, skips + 1)
-
-                velocity, regs = jax.lax.cond(run, computed, skipped, operand=None)
+                velocity, regs = _velocity_cache_select(
+                    compute_velocity,
+                    (v_prev, v_prev2, s_prev, s_prev2, lat_ref, skips),
+                    lat, sig_i, i, always,
+                    vc_adaptive=vc_adaptive, vc_linear=vc_linear,
+                    vc_warmup=vc_warmup, vc_interval=vc_interval,
+                    vc_threshold=vc_threshold, vc_max_skip=vc_max_skip,
+                    signal_axis=signal_axis,
+                )
 
             dt = sigmas[i + 1] - sigmas[i]
             lat = lat + dt * velocity

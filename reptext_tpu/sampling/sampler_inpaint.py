@@ -42,8 +42,8 @@ def make_inpaint_sampler(
     """Build the jitted dual-ControlNet CFG sampling function.
 
     ``signal_axis``: mesh axis name when the loop runs inside a shard_map
-    (SP) — the adaptive-cache drift trigger is pmax'd over it so every shard
-    takes the same lax.cond branch (see sampler.py).
+    (SP) — the adaptive-cache drift means are pmean'd over it (global drift)
+    so every shard takes the same lax.cond branch (see sampler.py).
 
     The two ControlNets may have different depths; each residual stack is
     spread onto the base model's injection slots (ceil-interval mapping, the
@@ -56,7 +56,9 @@ def make_inpaint_sampler(
     timesteps = jnp.asarray(schedule.timesteps, jnp.float32)
     num_steps = schedule.num_steps
     gate_step = min(pipe_cfg.controlnet_conditioning_step, num_steps)
-    from reptext_tpu.sampling.sampler import _cn_active_mask
+    from reptext_tpu.sampling.sampler import (
+        _cn_active_mask, _velocity_cache_select,
+    )
     cn_active = _cn_active_mask(pipe_cfg, num_steps, gate_step)
     cond_scale = pipe_cfg.controlnet_conditioning_scale
     true_scale = pipe_cfg.true_guidance_scale
@@ -170,44 +172,19 @@ def make_inpaint_sampler(
                 regs = (v_cfg, v_prev, sig_i, s_prev, lat_ref, skips)
             else:
                 # velocity caching (see sampler.py): warmup >= 1 always runs
-                # step 0, so the cache seed (zeros) is never consumed.
+                # step 0, so the cache seed (zeros) is never consumed. Unlike
+                # txt2img there is no `local == 0` term — the inpaint scan is
+                # never chunked, warmup >= 1 covers step 0.
                 always = (i < vc_warmup) | (i >= num_steps - 1)
-                if vc_adaptive:
-                    # latents' relative L1 drift since the last computed step
-                    # (see sampler.py for the trigger semantics)
-                    drift = jnp.mean(jnp.abs(lat - lat_ref), axis=(1, 2))
-                    ref = jnp.mean(jnp.abs(lat_ref), axis=(1, 2))
-                    rel = jnp.max(drift / (ref + 1e-8))
-                    if signal_axis is not None:
-                        rel = jax.lax.pmax(rel, signal_axis)
-                    run = always | (rel >= vc_threshold) | (skips >= vc_max_skip)
-                else:
-                    run = always | ((i - vc_warmup) % vc_interval == 0)
-
-                def computed(_):
-                    v = compute_v_cfg(None)
-                    return v, (v, v_prev, sig_i, s_prev,
-                               lat.astype(jnp.float32), jnp.zeros((), jnp.int32))
-
-                def skipped(_):
-                    if vc_linear:
-                        # first-order extrapolation over sigma from the last
-                        # two computed CFG velocities; degenerates to reuse
-                        # until two computes exist (seed carries s_prev2 == 0,
-                        # real schedule sigmas are > 0) — same rule as
-                        # sampler.py
-                        ds = s_prev - s_prev2
-                        inv = jnp.where(
-                            (jnp.abs(ds) > 1e-8) & (s_prev2 > 0.0),
-                            1.0 / ds, 0.0,
-                        )
-                        v = v_prev + (v_prev - v_prev2) * (inv * (sig_i - s_prev))
-                    else:
-                        v = v_prev
-                    return v, (v_prev, v_prev2, s_prev, s_prev2,
-                               lat_ref, skips + 1)
-
-                v_cfg, regs = jax.lax.cond(run, computed, skipped, operand=None)
+                v_cfg, regs = _velocity_cache_select(
+                    compute_v_cfg,
+                    (v_prev, v_prev2, s_prev, s_prev2, lat_ref, skips),
+                    lat, sig_i, i, always,
+                    vc_adaptive=vc_adaptive, vc_linear=vc_linear,
+                    vc_warmup=vc_warmup, vc_interval=vc_interval,
+                    vc_threshold=vc_threshold, vc_max_skip=vc_max_skip,
+                    signal_axis=signal_axis,
+                )
             # step 0: zero velocity (reference :1264-1270) — applied OUTSIDE
             # the cache so a skipped step 1+ never reuses the zeroed value.
             v = jnp.where(i > 0, v_cfg, jnp.zeros_like(v_cfg))

@@ -288,31 +288,42 @@ def check_sp_sampler(sp: int = 8):
     np.testing.assert_allclose(got_u, want, rtol=2e-4, atol=2e-4)
     print(f"sp fused-sampler parity OK (ulysses backend, sp={sp_u})")
 
-    # Adaptive velocity cache under SP: the drift trigger is pmax'd over the
-    # sp axis inside the shard_map so every shard takes the same lax.cond
-    # branch; sharded must still match single-device with the same trigger.
+    # Adaptive velocity cache under SP: the drift means are pmean'd over the
+    # sp axis inside the shard_map (reconstructing the GLOBAL per-image
+    # drift), so every shard takes the same lax.cond branch AND the decisions
+    # match the single-device trajectory exactly.
     import dataclasses
 
     steps_a = 4
-    ad_cfg = dataclasses.replace(
+    # DISCRIMINATIVE threshold: skip/run decisions depend on the actual drift
+    # value, so a shard-local (non-pmean'd) trigger that fires at different
+    # steps breaks parity here. (An always-skip threshold like 1e9 never
+    # consults the drift and cannot catch that bug.)
+    mid_cfg = dataclasses.replace(
         pipe_cfg, num_inference_steps=steps_a,
         controlnet_conditioning_step=steps_a,
         velocity_cache_mode="adaptive", velocity_cache_warmup=1,
-        velocity_cache_threshold=1e9, velocity_cache_max_skip=2)
+        velocity_cache_threshold=0.05, velocity_cache_max_skip=2)
     schedule_a = build_schedule(steps_a, 16)
-    want_a = np.asarray(
-        make_txt2img_sampler(flux_apply, cn_apply, schedule_a, ad_cfg)(*args))
-    got_a = np.asarray(jax.jit(make_sp_txt2img_sampler(
-        sp_flux_apply, sp_cn_apply, schedule_a, ad_cfg, mesh))(*args))
-    np.testing.assert_allclose(got_a, want_a, rtol=2e-4, atol=2e-4)
-    # the huge threshold must actually have skipped (trajectory differs from
-    # the uncached sampler) — otherwise this parity is vacuous
+    want_m = np.asarray(
+        make_txt2img_sampler(flux_apply, cn_apply, schedule_a, mid_cfg)(*args))
+    got_m = np.asarray(jax.jit(make_sp_txt2img_sampler(
+        sp_flux_apply, sp_cn_apply, schedule_a, mid_cfg, mesh))(*args))
+    np.testing.assert_allclose(got_m, want_m, rtol=2e-4, atol=2e-4)
+    # the mid threshold must have produced a MIXED decision sequence —
+    # different from both the always-skip and the never-skip trajectories
+    # (single-device references; the SP side is covered by parity above)
     plain = np.asarray(make_txt2img_sampler(
         flux_apply, cn_apply, schedule_a,
-        dataclasses.replace(ad_cfg, velocity_cache_mode="reuse",
+        dataclasses.replace(mid_cfg, velocity_cache_mode="reuse",
                             velocity_cache_interval=1))(*args))
-    assert np.abs(plain - want_a).max() > 0
-    print("sp adaptive-cache parity OK (drift trigger pmax'd over sp)")
+    allskip = np.asarray(make_txt2img_sampler(
+        flux_apply, cn_apply, schedule_a,
+        dataclasses.replace(mid_cfg, velocity_cache_threshold=1e9))(*args))
+    assert np.abs(want_m - allskip).max() > 0
+    assert np.abs(want_m - plain).max() > 0
+    print("sp adaptive-cache parity OK (global drift pmean'd over sp; "
+          "discriminative threshold)")
 
 
 def check_sp_pipeline():

@@ -106,8 +106,18 @@ def log2vis(text: str, lib) -> str:
     lib.fribidi_get_bidi_types(str_in, n, btypes)
     from reptext_tpu.conditioning.bidi import base_direction
 
-    pbase.value = (_FRIBIDI_PAR_RTL if base_direction(text) == "rtl"
-                   else _FRIBIDI_PAR_LTR)
+    ours_rtl = base_direction(text) == "rtl"
+    if not any(ch in "⁦⁧⁨" for ch in text):
+        # Independent P2 oracle: on isolate-free text fribidi's paragraph
+        # direction IS spec-correct, so our base_direction must agree (PAR_ON
+        # = no strong char = LTR per P3). Only inside isolates do we fall
+        # back to our own isolate-aware P2 (fribidi 1.0.8 predates it) —
+        # keeping the oracle non-self-referential everywhere it can be.
+        lib.fribidi_get_par_direction.restype = ctypes.c_uint32
+        frib_dir = lib.fribidi_get_par_direction(btypes, n)
+        assert ours_rtl == (frib_dir == _FRIBIDI_PAR_RTL), (
+            f"base_direction disagrees with fribidi P2 on {text!r}")
+    pbase.value = _FRIBIDI_PAR_RTL if ours_rtl else _FRIBIDI_PAR_LTR
 
     brackets = (ctypes.c_uint32 * n)()
     lib.fribidi_get_bracket_types(str_in, n, btypes, brackets)

@@ -62,7 +62,7 @@ def test_fuzz_against_fribidi():
         + ["‪", "‫", "‬", "‭", "‮"]   # LRE/RLE/PDF/LRO/RLO
         + ["⁦", "⁧", "⁨", "⁩"]             # LRI/RLI/FSI/PDI
     )
-    def known_fribidi_quirk(text):
+    def quirk_class(text):
         # Two fribidi-1.0.8 deviations from UAX#9, both verified by level-
         # array probes (this implementation follows the spec text):
         # (a) BD13/X10: fribidi chains level runs from two DIFFERENT
@@ -80,19 +80,47 @@ def test_fuzz_against_fribidi():
             elif ch == "⁩" and depth:
                 depth -= 1
         if depth > 0:
-            return True
+            return "unmatched-isolate"
         has_bracket = any(ch in "()[]{}" for ch in text)
         has_embedding = any(ch in "‪‫‭‮" for ch in text)
-        return has_bracket and has_embedding
+        if has_bracket and has_embedding:
+            return "bracket-in-embedding"
+        return None
+
+    def drop_unmatched_initiators(text):
+        stack, unmatched = [], set()
+        for i, ch in enumerate(text):
+            if ch in "⁦⁧⁨":
+                stack.append(i)
+            elif ch == "⁩" and stack:
+                stack.pop()
+        unmatched.update(stack)
+        return "".join(ch for i, ch in enumerate(text) if i not in unmatched)
 
     rng = random.Random(20260818)
-    mismatches = 0
+    per_class = {"unmatched-isolate": 0, "bracket-in-embedding": 0}
     for _ in range(300):
         text = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
-        if reorder_visual(text) != rec.log2vis(text, lib):
-            assert known_fribidi_quirk(text), repr(text)
-            mismatches += 1
-    assert mismatches <= 10, mismatches
+        ours, frib = reorder_visual(text), rec.log2vis(text, lib)
+        if ours == frib:
+            continue
+        # A mismatch is only excusable when (1) it falls in one of the two
+        # documented fribidi quirk classes, (2) it is a pure REORDERING
+        # disagreement (same character multiset — never dropped/duplicated
+        # glyphs), and (3) removing the quirk-triggering construct restores
+        # agreement, i.e. the divergence is LOCALIZED to the quirk, not a
+        # latent bug in the surrounding run-sequence machinery.
+        cls = quirk_class(text)
+        assert cls is not None, repr(text)
+        assert sorted(ours) == sorted(frib), repr(text)
+        stripped = drop_unmatched_initiators(text)
+        if quirk_class(stripped) == "bracket-in-embedding":
+            stripped = "".join(
+                ch for ch in stripped if ch not in "‪‫‬‭‮")
+        assert quirk_class(stripped) is None
+        assert reorder_visual(stripped) == rec.log2vis(stripped, lib), repr(text)
+        per_class[cls] += 1
+    assert sum(per_class.values()) <= 10, per_class
 
 
 def test_base_direction():

@@ -142,3 +142,20 @@ def test_explicit_latents_override(pipeline, conditions):
     c = pipeline(seed=1, **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert (np.asarray(a) != np.asarray(c)).any()
+
+
+def test_explicit_latents_shape_validated(pipeline, conditions):
+    """Wrong-shape `latents=` must fail fast with an actionable message, not
+    deep inside the jitted scan (reference check_inputs parity)."""
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    kw = dict(conditions=conditions, clip_ids=clip_ids, t5_ids=t5_ids,
+              num_images=1, output_type="latent")
+    c = VAEConfig().tiny().latent_channels
+    unpacked = jax.random.normal(  # [B, C, H/2, W/2] — not packed
+        jax.random.PRNGKey(0), (1, c, 8, 8))
+    with pytest.raises(ValueError, match="PACKED"):
+        pipeline(seed=1, latents=unpacked, **kw)
+    wrong_seq = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 4 * c))
+    with pytest.raises(ValueError, match="PACKED"):
+        pipeline(seed=1, latents=wrong_seq, **kw)
