@@ -212,14 +212,14 @@ class FluxRepTextPipeline:
         switches ``_get_sampler`` to ``make_sp_txt2img_sampler``. This is the
         >=2048^2 growth path: tokens scale with resolution^2, so sharding the
         sequence (not the weights) keeps per-chip attention memory flat.
-        Params stay replicated. Parity scenario:
-        tests/mesh_scenarios.py::check_sp_pipeline. Returns self.
+        Params stay replicated. An attached IP-Adapter works under SP (the
+        ip tokens are replicated per shard; the decoupled ip attention is
+        collective-free), as do callbacks/img2img (chunked shard_map scans).
+        Parity scenario: tests/mesh_scenarios.py::check_sp_pipeline.
+        Returns self.
         """
         from reptext_tpu.parallel import make_sp_mesh
 
-        if getattr(self, "ip_encoder", None) is not None:
-            raise ValueError("sequence-parallel sampling does not support an "
-                             "attached IP-Adapter")
         import jax
 
         if mesh is None:
@@ -349,7 +349,15 @@ class FluxRepTextPipeline:
             s_probe = 8
             probe_tokens = jnp.zeros((1, ip_cfg.num_tokens,
                                       ip_cfg.cross_attention_dim))
-            ip_vars = flux_ip.init(
+            # param structure is backend-independent; the SP backends (ring/
+            # ulysses) contain collectives and cannot trace outside a
+            # shard_map, so probe-init through the xla backend
+            init_probe = (
+                flux_ip.clone(attention_backend="xla")
+                if flux_ip.attention_backend in ("ring", "ulysses")
+                else flux_ip
+            )
+            ip_vars = init_probe.init(
                 jax.random.PRNGKey(seed + 1),
                 jnp.zeros((1, 4, cfg.in_channels)),
                 jnp.zeros((1, s_probe, cfg.joint_attention_dim)),
@@ -815,11 +823,6 @@ class FluxRepTextPipeline:
             self._chunk_samplers = {}
         key = (steps, chunk_len)
         if key not in self._chunk_samplers:
-            if getattr(self, "sp_mesh", None) is not None:
-                raise NotImplementedError(
-                    "callback/img2img chunked sampling is not supported under "
-                    "the sequence-parallel sampler"
-                )
             self._get_sampler(steps)
             chunked = self._raw_samplers[steps].chunked
             self._chunk_samplers[key] = jax.jit(

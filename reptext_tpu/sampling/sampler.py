@@ -359,27 +359,61 @@ def make_sp_txt2img_sampler(
     tok = P(None, axis_name, None)       # [B, S, C] latents / [N, S, F] conds
     ids = P(axis_name, None)             # [S, 3] image RoPE ids
 
+    def _specs(cond_tokens, token_masks):
+        cond_spec = tok if cond_tokens.ndim == 3 else P(None, None, axis_name, None)
+        mask_spec = tok if token_masks.ndim == 3 else P(None, None, axis_name, None)
+        return (P(), P(), tok, cond_spec, mask_spec, P(), P(), P(), ids, P())
+
     def sample(
         flux_params, cn_params, latents, cond_tokens, token_masks,
         prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
         flux_extra=None,
     ):
-        if flux_extra is not None:
-            raise NotImplementedError(
-                "IP-Adapter image prompts are not supported under the "
-                "sequence-parallel sampler (image tokens are replicated "
-                "per shard; use the dp x tp path)"
-            )
-        cond_spec = tok if cond_tokens.ndim == 3 else P(None, None, axis_name, None)
-        mask_spec = tok if token_masks.ndim == 3 else P(None, None, axis_name, None)
+        args = (flux_params, cn_params, latents, cond_tokens, token_masks,
+                prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance)
+        if flux_extra is None:
+            return jax.shard_map(
+                base, mesh=mesh, in_specs=_specs(cond_tokens, token_masks),
+                out_specs=tok, check_vma=False,
+            )(*args)
+        # IP-Adapter image-prompt tokens: a tiny [B, N_ip, D] set, REPLICATED
+        # per shard — the decoupled ip attention (local image queries over
+        # the full ip K/V, nn/blocks.py) is per-token and collective-free.
+        extra_spec = jax.tree.map(lambda _: P(), flux_extra)
         return jax.shard_map(
-            base,
+            lambda *a: base(*a[:-1], flux_extra=a[-1]),
             mesh=mesh,
-            in_specs=(P(), P(), tok, cond_spec, mask_spec,
-                      P(), P(), P(), ids, P()),
+            in_specs=_specs(cond_tokens, token_masks) + (extra_spec,),
             out_specs=tok,
             check_vma=False,
-        )(flux_params, cn_params, latents, cond_tokens, token_masks,
-          prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance)
+        )(*args, flux_extra)
 
+    def sample_chunk(
+        flux_params, cn_params, latents, cond_tokens, token_masks,
+        prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+        start_step, chunk_len, flux_extra=None,
+    ):
+        """Chunked SP sampling (callback / img2img under --shard spN): the
+        traced ``start_step`` scalar is replicated; each chunk is one
+        shard_map over the same specs as the full scan."""
+        args = (flux_params, cn_params, latents, cond_tokens, token_masks,
+                prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance)
+        start_step = jnp.asarray(start_step, jnp.int32)
+        if flux_extra is None:
+            return jax.shard_map(
+                lambda *a: base.chunked(*a[:-1], a[-1], chunk_len),
+                mesh=mesh,
+                in_specs=_specs(cond_tokens, token_masks) + (P(),),
+                out_specs=tok, check_vma=False,
+            )(*args, start_step)
+        extra_spec = jax.tree.map(lambda _: P(), flux_extra)
+        return jax.shard_map(
+            lambda *a: base.chunked(*a[:-2], a[-2], chunk_len,
+                                    flux_extra=a[-1]),
+            mesh=mesh,
+            in_specs=_specs(cond_tokens, token_masks) + (P(), extra_spec),
+            out_specs=tok, check_vma=False,
+        )(*args, start_step, flux_extra)
+
+    sample.chunked = sample_chunk
     return sample

@@ -361,7 +361,32 @@ def check_sp_pipeline():
     conds128 = build_conditions([TextLine("Hi", (16, 32), font_size=40)], 128, 128)
     lat = np.asarray(view(conds128, **kw))
     assert np.isfinite(lat).all()
-    print("pipeline-level SP parity OK (shard_for_sp sampler + resolution view)")
+
+    # callback-chunked sampling under SP (previously NotImplementedError):
+    # per-chunk shard_map scans must reproduce the single-scan trajectory
+    seen = []
+    got_cb = np.asarray(pipe(conds, callback=lambda i, _l: seen.append(i),
+                             callback_steps=1, **kw))
+    np.testing.assert_allclose(got_cb, want, rtol=2e-4, atol=2e-4)
+    assert seen == [1, 2], seen
+
+    # IP-Adapter under SP: attached adapter with zero-init to_v_ip is an
+    # exact no-op, and ip tokens ride the shard_map replicated
+    import dataclasses as _dc
+
+    from reptext_tpu.configs import CLIPVisionConfig, IPAdapterConfig
+
+    pipe.attach_ip_adapter(
+        vision_cfg=CLIPVisionConfig().tiny(),
+        ip_cfg=_dc.replace(
+            IPAdapterConfig().tiny(),
+            cross_attention_dim=pipe.flux.config.joint_attention_dim),
+        seed=3)
+    img = np.random.default_rng(5).integers(0, 256, (28, 28, 3)).astype(np.uint8)
+    got_ip = np.asarray(pipe(conds, ip_adapter_image=img, **kw))
+    np.testing.assert_allclose(got_ip, want, rtol=2e-4, atol=2e-4)
+    print("pipeline-level SP parity OK (shard_for_sp sampler + resolution "
+          "view + chunked callback + IP-Adapter no-op)")
 
 
 def check_sp_inpaint_pipeline():
