@@ -518,6 +518,13 @@ class FluxRepTextPipeline:
 
         if prompt_embeds is None:
             prompt_embeds, pooled_embeds = self.encode_prompt(clip_ids, t5_ids)
+        if num_images > 1 and prompt_embeds.shape[0] == 1:
+            # one prompt, several images: tile the text stream to the image
+            # batch (reference num_images_per_prompt,
+            # RepText/pipeline_flux_controlnet.py:381-385) — the flux scan
+            # carries the text stream, so its batch must match the latents
+            prompt_embeds = jnp.repeat(prompt_embeds, num_images, axis=0)
+            pooled_embeds = jnp.repeat(pooled_embeds, num_images, axis=0)
 
         rng = jax.random.PRNGKey(seed)
         r_lat, r_cond, r_glyph = jax.random.split(rng, 3)

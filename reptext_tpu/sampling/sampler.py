@@ -369,16 +369,10 @@ def make_sp_txt2img_sampler(
         prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
         flux_extra=None,
     ):
-        args = (flux_params, cn_params, latents, cond_tokens, token_masks,
-                prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance)
-        if flux_extra is None:
-            return jax.shard_map(
-                base, mesh=mesh, in_specs=_specs(cond_tokens, token_masks),
-                out_specs=tok, check_vma=False,
-            )(*args)
         # IP-Adapter image-prompt tokens: a tiny [B, N_ip, D] set, REPLICATED
         # per shard — the decoupled ip attention (local image queries over
         # the full ip K/V, nn/blocks.py) is per-token and collective-free.
+        # (tree.map over None is None, a valid empty-pytree arg/spec.)
         extra_spec = jax.tree.map(lambda _: P(), flux_extra)
         return jax.shard_map(
             lambda *a: base(*a[:-1], flux_extra=a[-1]),
@@ -386,7 +380,9 @@ def make_sp_txt2img_sampler(
             in_specs=_specs(cond_tokens, token_masks) + (extra_spec,),
             out_specs=tok,
             check_vma=False,
-        )(*args, flux_extra)
+        )(flux_params, cn_params, latents, cond_tokens, token_masks,
+          prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+          flux_extra)
 
     def sample_chunk(
         flux_params, cn_params, latents, cond_tokens, token_masks,
@@ -396,16 +392,6 @@ def make_sp_txt2img_sampler(
         """Chunked SP sampling (callback / img2img under --shard spN): the
         traced ``start_step`` scalar is replicated; each chunk is one
         shard_map over the same specs as the full scan."""
-        args = (flux_params, cn_params, latents, cond_tokens, token_masks,
-                prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance)
-        start_step = jnp.asarray(start_step, jnp.int32)
-        if flux_extra is None:
-            return jax.shard_map(
-                lambda *a: base.chunked(*a[:-1], a[-1], chunk_len),
-                mesh=mesh,
-                in_specs=_specs(cond_tokens, token_masks) + (P(),),
-                out_specs=tok, check_vma=False,
-            )(*args, start_step)
         extra_spec = jax.tree.map(lambda _: P(), flux_extra)
         return jax.shard_map(
             lambda *a: base.chunked(*a[:-2], a[-2], chunk_len,
@@ -413,7 +399,9 @@ def make_sp_txt2img_sampler(
             mesh=mesh,
             in_specs=_specs(cond_tokens, token_masks) + (P(), extra_spec),
             out_specs=tok, check_vma=False,
-        )(*args, start_step, flux_extra)
+        )(flux_params, cn_params, latents, cond_tokens, token_masks,
+          prompt_embeds, pooled_embeds, txt_ids, img_ids, guidance,
+          jnp.asarray(start_step, jnp.int32), flux_extra)
 
     sample.chunked = sample_chunk
     return sample

@@ -350,6 +350,8 @@ def check_sp_pipeline():
     t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
     kw = dict(clip_ids=clip_ids, t5_ids=t5_ids, seed=7, output_type="latent")
     want = np.asarray(pipe(conds, **kw))
+    init_img = np.random.default_rng(9).integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    want_i2i = np.asarray(pipe(conds, init_image=init_img, strength=0.5, **kw))
     pipe.shard_for_sp(make_sp_mesh(8))
     got = np.asarray(pipe(conds, **kw))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
@@ -385,8 +387,20 @@ def check_sp_pipeline():
     img = np.random.default_rng(5).integers(0, 256, (28, 28, 3)).astype(np.uint8)
     got_ip = np.asarray(pipe(conds, ip_adapter_image=img, **kw))
     np.testing.assert_allclose(got_ip, want, rtol=2e-4, atol=2e-4)
+
+    # combined img2img (t_start>0) + callback + IP-Adapter under SP in ONE
+    # call: exercises sample_chunk's flux_extra branch; the zero-init
+    # adapter no-op makes the pre-shard no-IP img2img run the exact oracle
+    seen2 = []
+    got_i2i = np.asarray(pipe(
+        conds, init_image=init_img, strength=0.5,
+        callback=lambda i, _l: seen2.append(i), callback_steps=1,
+        ip_adapter_image=img, **kw))
+    np.testing.assert_allclose(got_i2i, want_i2i, rtol=2e-4, atol=2e-4)
+    assert seen2 == [2], seen2
     print("pipeline-level SP parity OK (shard_for_sp sampler + resolution "
-          "view + chunked callback + IP-Adapter no-op)")
+          "view + chunked callback + IP-Adapter no-op + img2img chunked "
+          "with ip extra)")
 
 
 def check_sp_inpaint_pipeline():

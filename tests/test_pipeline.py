@@ -144,6 +144,20 @@ def test_explicit_latents_override(pipeline, conditions):
     assert (np.asarray(a) != np.asarray(c)).any()
 
 
+def test_num_images_batch(pipeline, conditions):
+    """num_images>1 (reference num_images_per_prompt): the text stream is
+    tiled to the image batch — previously crashed the scan with a carry
+    shape mismatch."""
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    lat = np.asarray(pipeline(
+        conditions=conditions, clip_ids=clip_ids, t5_ids=t5_ids,
+        num_images=2, seed=11, output_type="latent"))
+    assert lat.shape[0] == 2 and np.isfinite(lat).all()
+    # independent noise per image: the two samples must differ
+    assert np.abs(lat[0] - lat[1]).max() > 0
+
+
 def test_explicit_latents_shape_validated(pipeline, conditions):
     """Wrong-shape `latents=` must fail fast with an actionable message, not
     deep inside the jitted scan (reference check_inputs parity)."""
