@@ -81,6 +81,9 @@ def main(argv=None) -> int:
     parser.add_argument("--font", default=None, help="TTF font path")
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--num-images", type=int, default=1,
+                        help="txt2img: images per prompt (one batched sampler "
+                             "call; siblings saved as <output>_K.png)")
     parser.add_argument("--output", default="results/result.png")
     parser.add_argument("--mode",
                         choices=["txt2img", "inpaint", "serve", "train"],
@@ -495,7 +498,7 @@ def main(argv=None) -> int:
             gen_kwargs["strength"] = args.strength
         images = pipeline(
             conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=args.seed,
-            **gen_kwargs,
+            num_images=args.num_images, **gen_kwargs,
         )
 
     from PIL import Image
@@ -503,6 +506,11 @@ def main(argv=None) -> int:
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     Image.fromarray(images[0]).save(args.output)
     print(f"saved {args.output}")
+    root, ext = os.path.splitext(args.output)
+    for k in range(1, len(images)):
+        sib = f"{root}_{k}{ext or '.png'}"
+        Image.fromarray(images[k]).save(sib)
+        print(f"saved {sib}")
     return 0
 
 

@@ -113,6 +113,23 @@ def test_cli_sharded_generation(tmp_path):
     assert rc == 0 and out.exists() and out.stat().st_size > 0
 
 
+@pytest.mark.slow
+def test_cli_num_images(tmp_path):
+    """--num-images N: one batched sampler call, siblings saved with a
+    _K suffix next to --output."""
+    from reptext_tpu.cli import main
+
+    out = tmp_path / "multi.png"
+    rc = main([
+        "--text", "Hi", "--position", "8", "16", "--tiny", "--random-weights",
+        "--size", "64", "--steps", "2", "--controlnet-step", "1",
+        "--font-size", "24", "--num-images", "2", "--output", str(out),
+    ])
+    sib = tmp_path / "multi_1.png"
+    assert rc == 0 and out.exists() and sib.exists()
+    assert sib.stat().st_size > 0
+
+
 def test_compile_cache_toggle(tmp_path, monkeypatch):
     """utils/compile_cache: explicit dir enables the persistent cache;
     'off' (and the test-env default) disables; env var is the fallback."""
