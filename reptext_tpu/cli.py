@@ -82,8 +82,9 @@ def main(argv=None) -> int:
     parser.add_argument("--font-size", type=int, default=80)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--num-images", type=int, default=1,
-                        help="txt2img: images per prompt (one batched sampler "
-                             "call; siblings saved as <output>_K.png)")
+                        help="images per prompt, txt2img and inpaint (one "
+                             "batched sampler call; siblings saved as "
+                             "<output>_K.png)")
     parser.add_argument("--output", default="results/result.png")
     parser.add_argument("--mode",
                         choices=["txt2img", "inpaint", "serve", "train"],
@@ -471,7 +472,7 @@ def main(argv=None) -> int:
             conditions, image=image_arr, mask=mask_arr,
             clip_ids=clip_ids, t5_ids=t5_ids,
             negative_clip_ids=neg_clip, negative_t5_ids=neg_t5,
-            seed=args.seed,
+            seed=args.seed, num_images=args.num_images,
         )
     else:
         gen_kwargs = {}

@@ -133,6 +133,7 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         negative_clip_ids: Optional[jax.Array] = None,
         negative_t5_ids: Optional[jax.Array] = None,
         seed: int = 42,
+        num_images: int = 1,
         guidance_scale: Optional[float] = None,
         true_guidance_scale: Optional[float] = None,
         num_inference_steps: Optional[int] = None,
@@ -160,6 +161,17 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
             negative_prompt_embeds, negative_pooled_embeds = self.encode_prompt(
                 negative_clip_ids, negative_t5_ids
             )
+        if num_images > 1 and prompt_embeds.shape[0] == 1:
+            # one prompt, several images: tile BOTH halves of the CFG pair to
+            # the image batch (reference num_images_per_prompt,
+            # RepText/pipeline_flux_controlnet_inpaint.py:373-377) so the
+            # concat below yields [neg*N; pos*N] matching latents batch N
+            prompt_embeds = jnp.repeat(prompt_embeds, num_images, axis=0)
+            pooled_embeds = jnp.repeat(pooled_embeds, num_images, axis=0)
+            negative_prompt_embeds = jnp.repeat(
+                negative_prompt_embeds, num_images, axis=0)
+            negative_pooled_embeds = jnp.repeat(
+                negative_pooled_embeds, num_images, axis=0)
 
         ctx_cfg = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
         pooled_cfg = jnp.concatenate([negative_pooled_embeds, pooled_embeds], axis=0)
@@ -168,19 +180,24 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         r_lat, r_cond, r_glyph, r_inp = jax.random.split(rng, 4)
         cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
         inpaint_cond = self.prepare_inpaint_cond(image, mask, r_inp)
+        if num_images > 1:
+            # one source image edited N ways: the 68-feat inpaint conditioning
+            # rides the batch axis like the reference's conds ×batch repeat
+            # (RepText/pipeline_flux_controlnet_inpaint.py:823-824)
+            inpaint_cond = jnp.tile(inpaint_cond, (num_images, 1, 1))
         if latents is None:
             # pre-made packed noise (reference `latents` kwarg,
             # RepText/pipeline_flux_controlnet_inpaint.py:891) overrides
             # seed-derived noise — reproducible across frameworks
             latents = self.prepare_latents(
-                r_lat, 1, conditions.glyph_canvas, r_glyph)
+                r_lat, num_images, conditions.glyph_canvas, r_glyph)
         else:
-            expect = (1, cfg.image_seq_len,
+            expect = (num_images, cfg.image_seq_len,
                       4 * self.vae.config.latent_channels)
             if tuple(latents.shape) != expect:
                 raise ValueError(
                     f"latents must be PACKED noise of shape {expect} "
-                    f"(= [1, (H/16)*(W/16), 4*latent_channels] for "
+                    f"(= [num_images, (H/16)*(W/16), 4*latent_channels] for "
                     f"{cfg.height}x{cfg.width}); got {tuple(latents.shape)}. "
                     "Use reptext_tpu.ops.latents.pack_latents on "
                     "[B, C, H/8, W/8] latents."
@@ -190,7 +207,7 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
         txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))
         guidance = (
-            jnp.full((1,), gscale, jnp.float32)
+            jnp.full((num_images,), gscale, jnp.float32)
             if self.flux.config.guidance_embeds else None
         )
 

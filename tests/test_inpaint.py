@@ -65,6 +65,28 @@ def test_inpaint_end_to_end(pipeline):
     assert out.dtype == np.uint8
 
 
+def test_inpaint_num_images_batch(pipeline):
+    """num_images>1 (reference num_images_per_prompt,
+    RepText/pipeline_flux_controlnet_inpaint.py:373-377): both CFG halves and
+    the 68-feat inpaint conditioning tile to the image batch."""
+    conds = build_conditions([TextLine("X", (20, 20), font_size=24)], W, H)
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 255, (H, W, 3), np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[16:48, 16:48] = 255
+    lat = np.asarray(pipeline(
+        conds, image=image, mask=mask,
+        clip_ids=jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32),
+        t5_ids=jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32),
+        negative_clip_ids=jnp.asarray([[2, 255, 0, 0, 0, 0, 0, 0]], jnp.int32),
+        negative_t5_ids=jnp.asarray([[4, 1, 0, 0, 0, 0]], jnp.int32),
+        seed=11, num_images=2, output_type="latent",
+    ))
+    assert lat.shape[0] == 2 and np.isfinite(lat).all()
+    # independent noise per image: the two edits must differ
+    assert np.abs(lat[0] - lat[1]).max() > 0
+
+
 def test_inpaint_cond_shape(pipeline):
     import jax
 
