@@ -403,6 +403,14 @@ def main(verbose: bool = False):
     import gc
     import sys
 
+    # Persistent compile cache: the depth sweep compiles ~a dozen large graph
+    # signatures; reruns on the same host (driver retries, A/B sessions) load
+    # them from disk instead of paying minutes of tunnel compiles again.
+    # Runtime measurements are unaffected (the cache only skips compilation).
+    from reptext_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     def log(msg):
         if verbose:
             print(msg, file=sys.stderr, flush=True)
