@@ -46,10 +46,22 @@ def main(argv=None) -> int:
     parser.add_argument("--color", action="append", nargs=3, type=int,
                         metavar=("R", "G", "B"), default=None)
     parser.add_argument("--prompt", default="a street sign in city")
+    parser.add_argument("--prompt-2", default=None,
+                        help="separate prompt for the T5 encoder (CLIP still "
+                             "sees --prompt); default: same as --prompt "
+                             "(reference prompt_2, "
+                             "pipeline_flux_controlnet.py:753-754)")
     parser.add_argument("--prompt-suffix",
                         default=", filmfotos, film grain, reversal film photography")
     parser.add_argument("--size", type=int, default=1024, help="square image size")
     parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--timesteps", default=None, metavar="T1,T2,...",
+                        help="custom model-facing timestep grid in (0,1000] "
+                             "(overrides --steps; reference timesteps kwarg "
+                             "via retrieve_timesteps)")
+    parser.add_argument("--sigmas", default=None, metavar="S1,S2,...",
+                        help="custom base sigma ladder in (0,1] (overrides "
+                             "--steps; mutually exclusive with --timesteps)")
     parser.add_argument("--guidance-scale", type=float, default=3.5)
     parser.add_argument("--controlnet-scale", type=float, default=1.0)
     parser.add_argument("--controlnet-step", type=int, default=30,
@@ -457,6 +469,21 @@ def main(argv=None) -> int:
 
     # Tokenize: local tokenizer files if available, else deterministic hash ids
     clip_ids, t5_ids = _tokenize(prompt, clip_cfg, t5_cfg, args.checkpoint_dir)
+    if args.prompt_2 is not None:
+        # separate T5 prompt: CLIP keeps --prompt, T5 gets --prompt-2 (with the
+        # same render-text quoting; reference encode_prompt routes prompt_2 to
+        # tokenizer_2/text_encoder_2, pipeline_flux_controlnet.py:349-360)
+        prompt2 = build_prompt(args.prompt_2, args.text, args.prompt_suffix)
+        print(f"prompt_2: {prompt2}")
+        _, t5_ids = _tokenize(prompt2, clip_cfg, t5_cfg, args.checkpoint_dir)
+
+    sched_kwargs = {}
+    if args.timesteps and args.sigmas:
+        parser.error("--timesteps and --sigmas are mutually exclusive")
+    if args.timesteps:
+        sched_kwargs["timesteps"] = [float(t) for t in args.timesteps.split(",")]
+    if args.sigmas:
+        sched_kwargs["sigmas"] = [float(s) for s in args.sigmas.split(",")]
 
     if inpaint:
         from reptext_tpu.pipelines import DEFAULT_NEGATIVE_PROMPT
@@ -472,7 +499,7 @@ def main(argv=None) -> int:
             conditions, image=image_arr, mask=mask_arr,
             clip_ids=clip_ids, t5_ids=t5_ids,
             negative_clip_ids=neg_clip, negative_t5_ids=neg_t5,
-            seed=args.seed, num_images=args.num_images,
+            seed=args.seed, num_images=args.num_images, **sched_kwargs,
         )
     else:
         gen_kwargs = {}
@@ -499,7 +526,7 @@ def main(argv=None) -> int:
             gen_kwargs["strength"] = args.strength
         images = pipeline(
             conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=args.seed,
-            num_images=args.num_images, **gen_kwargs,
+            num_images=args.num_images, **sched_kwargs, **gen_kwargs,
         )
 
     from PIL import Image

@@ -29,7 +29,11 @@ from reptext_tpu.configs import ControlNetConfig, PipelineConfig
 from reptext_tpu.conditioning.glyph import Conditions
 from reptext_tpu.models import RepTextControlNet
 from reptext_tpu.ops.latents import pack_latents, prepare_latent_image_ids
-from reptext_tpu.pipelines.txt2img import FluxRepTextPipeline
+from reptext_tpu.pipelines.outputs import FluxPipelineOutput, to_pil_images
+from reptext_tpu.pipelines.txt2img import (
+    FluxRepTextPipeline,
+    _normalize_custom_schedule,
+)
 from reptext_tpu.sampling.flow_match import build_schedule
 from reptext_tpu.sampling.sampler_inpaint import make_inpaint_sampler
 from reptext_tpu.utils.image import postprocess_images, preprocess_images
@@ -139,11 +143,19 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         num_inference_steps: Optional[int] = None,
         output_type: str = "np",
         latents: Optional[jax.Array] = None,
+        timesteps=None,
+        sigmas=None,
+        return_dict: bool = False,
     ) -> np.ndarray:
         if image is None or mask is None:
             raise ValueError("inpaint pipeline requires `image` and `mask`")
         cfg = self.pipe_cfg
         steps = num_inference_steps or cfg.num_inference_steps
+        custom_schedule = _normalize_custom_schedule(timesteps, sigmas)
+        if custom_schedule is not None:
+            # caller schedule override (reference retrieve_timesteps routing,
+            # RepText/pipeline_flux_controlnet_inpaint.py:1074-1081)
+            steps = len(custom_schedule[1])
         gscale = guidance_scale if guidance_scale is not None else cfg.guidance_scale
         tscale = (
             true_guidance_scale if true_guidance_scale is not None
@@ -211,7 +223,7 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
             if self.flux.config.guidance_embeds else None
         )
 
-        sampler = self._get_inpaint_sampler(steps, tscale)
+        sampler = self._get_inpaint_sampler(steps, tscale, custom_schedule)
         latents = sampler(
             self.params["flux"], self.params["controlnet"],
             self.params["inpaint_controlnet"], latents,
@@ -220,19 +232,26 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         )
 
         if output_type == "latent":
-            return latents
-        return postprocess_images(self._decode(latents))
+            return FluxPipelineOutput(images=latents) if return_dict else latents
+        images = postprocess_images(self._decode(latents))
+        if output_type == "pil":
+            images = to_pil_images(images)
+        return FluxPipelineOutput(images=images) if return_dict else images
 
-    def _get_inpaint_sampler(self, steps: int, true_scale: float):
-        key = ("inpaint", steps, true_scale)
+    def _get_inpaint_sampler(self, steps: int, true_scale: float,
+                             custom_schedule=None):
+        key = ("inpaint", steps, true_scale, custom_schedule)
         if not hasattr(self, "_samplers"):
             self._samplers = {}
         if key not in self._samplers:
             cfg = dataclasses.replace(self.pipe_cfg, true_guidance_scale=true_scale)
+            sched_kw = {}
+            if custom_schedule is not None:
+                sched_kw[custom_schedule[0]] = list(custom_schedule[1])
             schedule = build_schedule(
                 steps, cfg.image_seq_len, cfg.base_image_seq_len,
                 cfg.max_image_seq_len, cfg.base_shift, cfg.max_shift,
-                cfg.use_dynamic_shifting,
+                cfg.use_dynamic_shifting, **sched_kw,
             )
 
             def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr):

@@ -49,9 +49,25 @@ from reptext_tpu.ops.latents import (
     prepare_latent_image_ids,
     unpack_latents,
 )
+from reptext_tpu.pipelines.outputs import FluxPipelineOutput, to_pil_images
 from reptext_tpu.sampling.flow_match import build_schedule
 from reptext_tpu.sampling.sampler import make_txt2img_sampler
 from reptext_tpu.utils.image import postprocess_images, preprocess_images
+
+
+def _normalize_custom_schedule(timesteps, sigmas):
+    """Caller timesteps/sigmas -> hashable ("timesteps"|"sigmas", tuple) key
+    (or None). Mutual exclusivity is re-checked in build_schedule."""
+    if timesteps is None and sigmas is None:
+        return None
+    if timesteps is not None and sigmas is not None:
+        raise ValueError(
+            "Only one of `timesteps` or `sigmas` can be passed. "
+            "Please choose one to set custom values"
+        )
+    if timesteps is not None:
+        return ("timesteps", tuple(float(t) for t in np.asarray(timesteps).ravel()))
+    return ("sigmas", tuple(float(s) for s in np.asarray(sigmas).ravel()))
 
 
 @dataclasses.dataclass
@@ -498,8 +514,22 @@ class FluxRepTextPipeline:
         ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 1.0,
         latents: Optional[jax.Array] = None,
+        timesteps=None,
+        sigmas=None,
+        return_dict: bool = False,
     ) -> np.ndarray:
         """Generate images. Either embeddings or token ids must be provided.
+
+        ``timesteps``/``sigmas`` (mutually exclusive) override the linspace
+        schedule (reference ``timesteps`` kwarg routed through
+        ``retrieve_timesteps``, RepText/pipeline_flux_controlnet.py:758,91-160;
+        semantics documented on :func:`build_schedule`). ``num_inference_steps``
+        is then ignored in favor of their length.
+
+        ``output_type``: "np" (uint8 array, this framework's native), "pil"
+        (list of PIL images — the reference's public contract,
+        RepText/pipeline_flux_controlnet.py:1132-1148), or "latent".
+        ``return_dict=True`` wraps the result in :class:`FluxPipelineOutput`.
 
         ``init_image``/``strength`` give img2img: denoising starts from the
         VAE latent of the image noised to sigma[t0], t0 = steps*(1-strength)
@@ -514,6 +544,9 @@ class FluxRepTextPipeline:
         """
         cfg = self.pipe_cfg
         steps = num_inference_steps or cfg.num_inference_steps
+        custom_schedule = _normalize_custom_schedule(timesteps, sigmas)
+        if custom_schedule is not None:
+            steps = len(custom_schedule[1])
         gscale = guidance_scale if guidance_scale is not None else cfg.guidance_scale
 
         if prompt_embeds is None:
@@ -530,8 +563,9 @@ class FluxRepTextPipeline:
         r_lat, r_cond, r_glyph = jax.random.split(rng, 3)
         cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
 
-        sampler = self._get_sampler(steps)
-        schedule = self._schedules[steps]
+        sampler = self._get_sampler(steps, custom_schedule)
+        schedule = self._schedules[
+            steps if custom_schedule is None else (steps,) + custom_schedule]
 
         if latents is not None:
             expect = (num_images, cfg.image_seq_len,
@@ -606,14 +640,15 @@ class FluxRepTextPipeline:
                 latents = sampler(*margs, latents, *sargs,
                                   flux_extra=flux_extra)
             else:
-                latents = self._get_chunk_sampler(steps, remaining)(
+                latents = self._get_chunk_sampler(
+                    steps, remaining, custom_schedule)(
                     *margs, latents, *sargs, t_start, flux_extra=flux_extra
                 )
         else:
             i = t_start
             while i < steps:
                 k = min(callback_steps, steps - i)
-                latents = self._get_chunk_sampler(steps, k)(
+                latents = self._get_chunk_sampler(steps, k, custom_schedule)(
                     *margs, latents, *sargs, i, flux_extra=flux_extra
                 )
                 i += k
@@ -621,9 +656,11 @@ class FluxRepTextPipeline:
                     break
 
         if output_type == "latent":
-            return latents
-        images = self._decode(latents)
-        return postprocess_images(images)
+            return FluxPipelineOutput(images=latents) if return_dict else latents
+        images = postprocess_images(self._decode(latents))
+        if output_type == "pil":
+            images = to_pil_images(images)
+        return FluxPipelineOutput(images=images) if return_dict else images
 
     # ------------------------------------------------------- batched serving
 
@@ -757,19 +794,28 @@ class FluxRepTextPipeline:
     def _t5_apply(self):
         return jax.jit(lambda p, ids: self.t5.apply(p, ids))
 
-    def _get_sampler(self, steps: int):
+    def _get_sampler(self, steps: int, custom_schedule=None):
+        """custom_schedule: None, or ("timesteps"|"sigmas", tuple-of-floats) —
+        a caller schedule override (reference retrieve_timesteps,
+        RepText/pipeline_flux_controlnet.py:91-160,758); becomes part of the
+        compiled-sampler cache key."""
+        key = steps if custom_schedule is None else (steps,) + custom_schedule
         if not hasattr(self, "_samplers"):
             self._samplers = {}
             self._raw_samplers = {}
             self._schedules = {}
-        if steps not in self._samplers:
+        if key not in self._samplers:
             cfg = self.pipe_cfg
+            sched_kw = {}
+            if custom_schedule is not None:
+                sched_kw[custom_schedule[0]] = list(custom_schedule[1])
             schedule = build_schedule(
                 steps, cfg.image_seq_len,
                 cfg.base_image_seq_len, cfg.max_image_seq_len,
                 cfg.base_shift, cfg.max_shift, cfg.use_dynamic_shifting,
+                **sched_kw,
             )
-            self._schedules[steps] = schedule
+            self._schedules[key] = schedule
 
             def flux_apply(p, x, ctx, pooled, t, iid, tid, g, br, sr, extra=None):
                 kw = {}
@@ -820,18 +866,19 @@ class FluxRepTextPipeline:
                 sample = make_txt2img_sampler(
                     flux_apply, cn_apply, schedule, cfg, self.compute_dtype
                 )
-            self._raw_samplers[steps] = sample
-            self._samplers[steps] = jax.jit(sample)
-        return self._samplers[steps]
+            self._raw_samplers[key] = sample
+            self._samplers[key] = jax.jit(sample)
+        return self._samplers[key]
 
-    def _get_chunk_sampler(self, steps: int, chunk_len: int):
+    def _get_chunk_sampler(self, steps: int, chunk_len: int, custom_schedule=None):
         """Jitted fixed-length chunk of the denoise loop (traced start_step)."""
         if not hasattr(self, "_chunk_samplers"):
             self._chunk_samplers = {}
-        key = (steps, chunk_len)
+        skey = steps if custom_schedule is None else (steps,) + custom_schedule
+        key = (skey, chunk_len)
         if key not in self._chunk_samplers:
-            self._get_sampler(steps)
-            chunked = self._raw_samplers[steps].chunked
+            self._get_sampler(steps, custom_schedule)
+            chunked = self._raw_samplers[skey].chunked
             self._chunk_samplers[key] = jax.jit(
                 lambda *args, flux_extra=None: chunked(
                     *args, chunk_len, flux_extra=flux_extra

@@ -80,21 +80,63 @@ def build_schedule(
     max_shift: float = 1.16,
     use_dynamic_shifting: bool = True,
     shift: float = 3.0,
+    timesteps=None,
+    sigmas=None,
 ) -> FlowMatchSchedule:
     """Build the FLUX FlowMatch Euler schedule.
 
     With dynamic shifting (FLUX.1-dev default), sigmas are exponentially shifted
     by mu from :func:`calculate_shift`; otherwise the static ``shift`` factor is
     applied as sigma' = shift*sigma / (1 + (shift-1)*sigma).
+
+    Custom schedules (at most one of the two; reference ``retrieve_timesteps``,
+    RepText/pipeline_flux_controlnet.py:91-160, forwarding into the scheduler's
+    ``set_timesteps(timesteps=..., sigmas=..., mu=...)``):
+
+    - ``sigmas``: caller-provided base sigma ladder replacing the linspace;
+      the shift is still applied, and the model-facing timesteps are derived
+      as ``shifted_sigma * 1000``.
+    - ``timesteps``: caller-provided model-facing timesteps (0..1000 range,
+      e.g. a distillation sampler's trained grid). The Euler step sigmas are
+      derived by shifting ``t/1000``, but the stored ``timesteps`` stay the
+      caller's values VERBATIM — the scheduler's documented behavior
+      (``is_timesteps_provided`` branch): the model is conditioned on the grid
+      it was distilled for while integration follows the shifted ladder.
+
+    Both override ``num_steps`` with their own length.
     """
-    sigmas = np.linspace(1.0, 1.0 / num_steps, num_steps, dtype=np.float64)
+    if timesteps is not None and sigmas is not None:
+        # reference retrieve_timesteps raises the same way (":138-139")
+        raise ValueError(
+            "Only one of `timesteps` or `sigmas` can be passed. "
+            "Please choose one to set custom values"
+        )
+    provided_timesteps = None
+    if timesteps is not None:
+        provided_timesteps = np.asarray(timesteps, dtype=np.float64)
+        if provided_timesteps.ndim != 1 or len(provided_timesteps) == 0:
+            raise ValueError("timesteps must be a non-empty 1D sequence")
+        if (provided_timesteps <= 0).any() or (provided_timesteps > 1000).any():
+            raise ValueError("timesteps must lie in (0, 1000]")
+        base = provided_timesteps / 1000.0
+    elif sigmas is not None:
+        base = np.asarray(sigmas, dtype=np.float64)
+        if base.ndim != 1 or len(base) == 0:
+            raise ValueError("sigmas must be a non-empty 1D sequence")
+        if (base <= 0).any() or (base > 1).any():
+            raise ValueError("sigmas must lie in (0, 1]")
+    else:
+        base = np.linspace(1.0, 1.0 / num_steps, num_steps, dtype=np.float64)
     if use_dynamic_shifting:
         mu = calculate_shift(
             image_seq_len, base_image_seq_len, max_image_seq_len, base_shift, max_shift
         )
-        sigmas = np.array([time_shift(mu, 1.0, s) for s in sigmas])
+        shifted = np.array([time_shift(mu, 1.0, s) for s in base])
     else:
-        sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
-    timesteps = (sigmas * 1000.0).astype(np.float32)
-    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
-    return FlowMatchSchedule(sigmas=sigmas, timesteps=timesteps)
+        shifted = shift * base / (1 + (shift - 1) * base)
+    if provided_timesteps is not None:
+        out_timesteps = provided_timesteps.astype(np.float32)
+    else:
+        out_timesteps = (shifted * 1000.0).astype(np.float32)
+    out_sigmas = np.concatenate([shifted, [0.0]]).astype(np.float32)
+    return FlowMatchSchedule(sigmas=out_sigmas, timesteps=out_timesteps)

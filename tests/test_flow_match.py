@@ -62,3 +62,67 @@ def test_scale_noise_at_step0_is_pure_noise():
     noise = jnp.ones((2, 2))
     out = np.asarray(sched.scale_noise(sample, noise, 0))
     np.testing.assert_allclose(out, float(sched.sigmas[0]), rtol=1e-6)
+
+
+# --- custom caller schedules (reference retrieve_timesteps semantics,
+# RepText/pipeline_flux_controlnet.py:91-160: set_timesteps(sigmas=...) or
+# set_timesteps(timesteps=...) with mu-shift) ---
+
+
+def test_custom_sigmas_equals_default_when_linspace():
+    # passing the pipeline's own linspace must reproduce the default schedule
+    default = build_schedule(num_steps=12, image_seq_len=1024)
+    custom = build_schedule(
+        num_steps=999, image_seq_len=1024,
+        sigmas=np.linspace(1.0, 1.0 / 12, 12),
+    )
+    assert custom.num_steps == 12  # length of sigmas wins over num_steps
+    np.testing.assert_allclose(custom.sigmas, default.sigmas, rtol=1e-6)
+    np.testing.assert_allclose(custom.timesteps, default.timesteps, rtol=1e-6)
+
+
+def test_custom_sigmas_shift_applied_and_timesteps_derived():
+    mu = calculate_shift(1024)
+    base = np.array([0.9, 0.5, 0.2])
+    sched = build_schedule(num_steps=3, image_seq_len=1024, sigmas=base)
+    want = np.exp(mu) / (np.exp(mu) + (1 / base - 1))
+    np.testing.assert_allclose(sched.sigmas[:-1], want, rtol=1e-5)
+    assert sched.sigmas[-1] == 0.0
+    np.testing.assert_allclose(sched.timesteps, want * 1000, rtol=1e-5)
+
+
+def test_custom_timesteps_kept_verbatim_sigmas_shifted():
+    # the scheduler's is_timesteps_provided branch: model-facing timesteps are
+    # the caller's values UNCHANGED; Euler sigmas derive from shifted t/1000
+    mu = calculate_shift(1024)
+    ts = np.array([990.0, 500.0, 125.0])
+    sched = build_schedule(num_steps=3, image_seq_len=1024, timesteps=ts)
+    np.testing.assert_allclose(sched.timesteps, ts, rtol=1e-6)
+    base = ts / 1000.0
+    want = np.exp(mu) / (np.exp(mu) + (1 / base - 1))
+    np.testing.assert_allclose(sched.sigmas[:-1], want, rtol=1e-5)
+
+
+def test_custom_timesteps_static_shift():
+    ts = np.array([800.0, 400.0])
+    sched = build_schedule(
+        num_steps=2, image_seq_len=0, use_dynamic_shifting=False, shift=3.0,
+        timesteps=ts,
+    )
+    base = ts / 1000.0
+    np.testing.assert_allclose(
+        sched.sigmas[:-1], 3.0 * base / (1 + 2.0 * base), rtol=1e-6)
+    np.testing.assert_allclose(sched.timesteps, ts, rtol=1e-6)
+
+
+def test_custom_schedule_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="Only one of"):
+        build_schedule(2, 256, timesteps=[500.0], sigmas=[0.5])
+    with pytest.raises(ValueError):
+        build_schedule(2, 256, timesteps=[0.0, -5.0])
+    with pytest.raises(ValueError):
+        build_schedule(2, 256, sigmas=[1.5])
+    with pytest.raises(ValueError):
+        build_schedule(2, 256, sigmas=[])

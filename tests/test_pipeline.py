@@ -45,6 +45,7 @@ def conditions():
     )
 
 
+@pytest.mark.smoke
 def test_end_to_end_generation(pipeline, conditions):
     clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
     t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
@@ -173,3 +174,56 @@ def test_explicit_latents_shape_validated(pipeline, conditions):
     wrong_seq = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 4 * c))
     with pytest.raises(ValueError, match="PACKED"):
         pipeline(seed=1, latents=wrong_seq, **kw)
+
+
+@pytest.mark.smoke
+def test_custom_sigmas_matches_default_schedule(pipeline, conditions):
+    """Passing the pipeline's own linspace as `sigmas=` must reproduce the
+    default schedule bit-for-bit (reference retrieve_timesteps default path,
+    RepText/pipeline_flux_controlnet.py:948-967)."""
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    kw = dict(conditions=conditions, clip_ids=clip_ids, t5_ids=t5_ids,
+              seed=42, output_type="latent")
+    default = np.asarray(pipeline(num_inference_steps=2, **kw))
+    custom = np.asarray(pipeline(sigmas=np.linspace(1.0, 0.5, 2), **kw))
+    np.testing.assert_allclose(custom, default, rtol=1e-5, atol=1e-6)
+
+
+def test_custom_timesteps_runs_and_differs(pipeline, conditions):
+    """A 3-point distillation-style timestep grid: runs through one fused
+    sampler, overrides steps, and differs from the 2-step default."""
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    kw = dict(conditions=conditions, clip_ids=clip_ids, t5_ids=t5_ids,
+              seed=42, output_type="latent")
+    lat = np.asarray(pipeline(timesteps=[950.0, 600.0, 200.0], **kw))
+    assert lat.shape == (1, 16, 4 * VAEConfig().tiny().latent_channels)
+    assert np.isfinite(lat).all()
+    default = np.asarray(pipeline(num_inference_steps=2, **kw))
+    assert np.abs(lat - default).max() > 0
+    with pytest.raises(ValueError, match="Only one of"):
+        pipeline(timesteps=[500.0], sigmas=[0.5], **kw)
+
+
+def test_pil_output_and_return_dict(pipeline, conditions):
+    """output_type='pil' + return_dict: the reference's public return contract
+    (FluxPipelineOutput with PIL images, pipeline_flux_controlnet.py:1132-1148)."""
+    from PIL import Image
+
+    from reptext_tpu.pipelines import FluxPipelineOutput
+
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    kw = dict(conditions=conditions, clip_ids=clip_ids, t5_ids=t5_ids, seed=42)
+    out = pipeline(output_type="pil", return_dict=True, **kw)
+    assert isinstance(out, FluxPipelineOutput)
+    assert isinstance(out.images, list) and len(out.images) == 1
+    assert isinstance(out.images[0], Image.Image)
+    assert out.images[0].size == (W, H)
+    # tuple-style unpacking parity with return_dict=False in the reference
+    (images,) = out
+    assert images is out.images
+    # PIL pixels match the np output exactly
+    np_imgs = pipeline(output_type="np", **kw)
+    np.testing.assert_array_equal(np.asarray(out.images[0]), np_imgs[0])
