@@ -65,16 +65,50 @@ _FORMS = {
     0x0648: (0xFEED, 0xFEEE, None, None),    # WAW
     0x0649: (0xFEEF, 0xFEF0, None, None),    # ALEF MAKSURA
     0x064A: (0xFEF1, 0xFEF2, 0xFEF3, 0xFEF4),  # YEH
-    # Extended letters (Persian / Urdu), Presentation Forms-A
-    0x067E: (0xFB56, 0xFB57, 0xFB58, 0xFB59),  # PEH
-    0x0686: (0xFB7A, 0xFB7B, 0xFB7C, 0xFB7D),  # TCHEH
-    0x0698: (0xFB8A, 0xFB8B, None, None),    # JEH
-    0x06A9: (0xFB8E, 0xFB8F, 0xFB90, 0xFB91),  # KEHEH
-    0x06AF: (0xFB92, 0xFB93, 0xFB94, 0xFB95),  # GAF
-    0x06BA: (0xFB9E, 0xFB9F, None, None),    # NOON GHUNNA
-    0x06C1: (0xFBA6, 0xFBA7, 0xFBA8, 0xFBA9),  # HEH GOAL
+    # Extended letters (Arabic block supplements for Persian, Urdu, Sindhi,
+    # Pashto, Uyghur/Kazakh/Kirghiz), Presentation Forms-A FB50-FBFF. The
+    # reference renders none of these correctly (raw draw.text,
+    # RepText/infer.py:74-76); full coverage of every letter Unicode assigns
+    # contextual forms to in that block:
+    0x0671: (0xFB50, 0xFB51, None, None),    # ALEF WASLA
+    0x0679: (0xFB66, 0xFB67, 0xFB68, 0xFB69),  # TTEH (Urdu)
+    0x067A: (0xFB5E, 0xFB5F, 0xFB60, 0xFB61),  # TTEHEH
+    0x067B: (0xFB52, 0xFB53, 0xFB54, 0xFB55),  # BEEH
+    0x067E: (0xFB56, 0xFB57, 0xFB58, 0xFB59),  # PEH (Persian)
+    0x067F: (0xFB62, 0xFB63, 0xFB64, 0xFB65),  # TEHEH
+    0x0680: (0xFB5A, 0xFB5B, 0xFB5C, 0xFB5D),  # BEHEH
+    0x0683: (0xFB76, 0xFB77, 0xFB78, 0xFB79),  # NYEH
+    0x0684: (0xFB72, 0xFB73, 0xFB74, 0xFB75),  # DYEH
+    0x0686: (0xFB7A, 0xFB7B, 0xFB7C, 0xFB7D),  # TCHEH (Persian)
+    0x0687: (0xFB7E, 0xFB7F, 0xFB80, 0xFB81),  # TCHEHEH
+    0x0688: (0xFB88, 0xFB89, None, None),    # DDAL (Urdu)
+    0x068C: (0xFB84, 0xFB85, None, None),    # DAHAL
+    0x068D: (0xFB82, 0xFB83, None, None),    # DDAHAL
+    0x068E: (0xFB86, 0xFB87, None, None),    # DUL
+    0x0691: (0xFB8C, 0xFB8D, None, None),    # RREH (Urdu)
+    0x0698: (0xFB8A, 0xFB8B, None, None),    # JEH (Persian)
+    0x06A4: (0xFB6A, 0xFB6B, 0xFB6C, 0xFB6D),  # VEH
+    0x06A6: (0xFB6E, 0xFB6F, 0xFB70, 0xFB71),  # PEHEH
+    0x06A9: (0xFB8E, 0xFB8F, 0xFB90, 0xFB91),  # KEHEH (Persian kaf)
+    0x06AD: (0xFBD3, 0xFBD4, 0xFBD5, 0xFBD6),  # NG
+    0x06AF: (0xFB92, 0xFB93, 0xFB94, 0xFB95),  # GAF (Persian)
+    0x06B1: (0xFB9A, 0xFB9B, 0xFB9C, 0xFB9D),  # NGOEH
+    0x06B3: (0xFB96, 0xFB97, 0xFB98, 0xFB99),  # GUEH
+    0x06BA: (0xFB9E, 0xFB9F, None, None),    # NOON GHUNNA (Urdu)
+    0x06BB: (0xFBA0, 0xFBA1, 0xFBA2, 0xFBA3),  # RNOON
+    0x06BE: (0xFBAA, 0xFBAB, 0xFBAC, 0xFBAD),  # HEH DOACHASHMEE (Urdu)
+    0x06C0: (0xFBA4, 0xFBA5, None, None),    # HEH WITH YEH ABOVE
+    0x06C1: (0xFBA6, 0xFBA7, 0xFBA8, 0xFBA9),  # HEH GOAL (Urdu)
+    0x06C5: (0xFBE0, 0xFBE1, None, None),    # KIRGHIZ OE
+    0x06C6: (0xFBD9, 0xFBDA, None, None),    # OE
+    0x06C7: (0xFBD7, 0xFBD8, None, None),    # U
+    0x06C8: (0xFBDB, 0xFBDC, None, None),    # YU
+    0x06C9: (0xFBE2, 0xFBE3, None, None),    # KIRGHIZ YU
+    0x06CB: (0xFBDE, 0xFBDF, None, None),    # VE
     0x06CC: (0xFBFC, 0xFBFD, 0xFBFE, 0xFBFF),  # FARSI YEH
-    0x06D2: (0xFBAE, 0xFBAF, None, None),    # YEH BARREE
+    0x06D0: (0xFBE4, 0xFBE5, 0xFBE6, 0xFBE7),  # E (Uyghur)
+    0x06D2: (0xFBAE, 0xFBAF, None, None),    # YEH BARREE (Urdu)
+    0x06D3: (0xFBB0, 0xFBB1, None, None),    # YEH BARREE WITH HAMZA
 }
 
 # LAM + alef-variant -> (isolated, final) ligature
