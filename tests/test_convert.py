@@ -167,6 +167,7 @@ def test_vae_converter_structure():
 # ----------------------------------------------------- torch parity (CLIP/T5)
 
 
+@pytest.mark.smoke
 def test_clip_parity_with_transformers():
     torch = pytest.importorskip("torch")
     from transformers import CLIPTextConfig, CLIPTextModel

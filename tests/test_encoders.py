@@ -37,6 +37,7 @@ def test_vae_decode_shapes(vae_and_params):
     assert img.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.smoke
 def test_vae_sample_vs_mode(vae_and_params):
     vae, params = vae_and_params
     img = jnp.ones((1, 32, 32, 3)) * 0.5

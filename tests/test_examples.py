@@ -16,6 +16,7 @@ pytestmark = pytest.mark.slow
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.smoke
 def test_generate_example_predict():
     from examples.generate import build_pipeline, predict
 

@@ -43,6 +43,7 @@ def pipeline():
     )
 
 
+@pytest.mark.smoke
 def test_inpaint_end_to_end(pipeline):
     conds = build_conditions([TextLine("X", (20, 20), font_size=24)], W, H)
     rng = np.random.default_rng(0)
@@ -105,6 +106,7 @@ def test_inpaint_requires_image_and_mask(pipeline):
         pipeline(conds)
 
 
+@pytest.mark.smoke
 def test_inpaint_velocity_cache(pipeline):
     """Inpaint sampler honors velocity_cache_interval ("reuse" mode): cached
     and uncached runs agree at the warmup prefix semantics (finite, same

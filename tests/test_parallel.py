@@ -16,6 +16,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
+@pytest.mark.smoke
 def test_mesh_scenarios():
     if jax.default_backend() == "cpu" and len(jax.devices()) >= 8:
         import mesh_scenarios

@@ -52,6 +52,7 @@ def test_healthz(server):
     assert status == 200 and data["ok"] is True
 
 
+@pytest.mark.smoke
 def test_generate_roundtrip(server):
     status, data = _request(server, "POST", "/generate", {
         "prompt": "a neon sign",
@@ -127,6 +128,7 @@ def test_unknown_mode_rejected(server):
     assert status == 400 and "mode" in data["error"]
 
 
+@pytest.mark.smoke
 def test_inpaint_request_roundtrip(server):
     """Served inpaint: dual-ControlNet CFG request through the worker."""
     import io as _io

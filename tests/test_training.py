@@ -48,6 +48,7 @@ def test_loss_finite_and_positive():
     assert np.isfinite(float(loss)) and float(loss) > 0
 
 
+@pytest.mark.smoke
 def test_train_step_decreases_loss():
     apply_fn, params, batch = _setup()
     opt = optax.adam(1e-3)

@@ -167,6 +167,7 @@ def test_adaptive_zero_threshold_is_uncached():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.smoke
 def test_adaptive_skips_and_stays_close():
     """A high threshold actually skips (result differs from uncached) while
     max_skip bounds divergence."""
