@@ -20,6 +20,12 @@ Method:
   per-layer in-scan dequant); the fp8-vs-bf16 overhead measured at (8,16)
   converts it to an implied bf16 step, cross-checking the fit's endpoint
   by execution (`full_depth_fit_validation_err`).
+- The HEADLINE `value` is the MEASURED full-depth (19,38)+CN step (fp8
+  weights = the single-chip deployment form of the 12B model), protocol-
+  corrected to the deployment dispatch regime by a chain=True vs chain=False
+  calibration at (8,16) (VERDICT r3 #1); the depth-fit composition is kept
+  as `images_per_min_extrapolated` and the two are cross-checked in
+  `measured_vs_fit_step_discrepancy`.
 - The actual production `lax.scan` sampler (sampling/sampler.py: gating,
   line-batched ControlNet, regional masking, Euler) is ALSO timed end-to-end
   at reduced depth; its per-step overhead factor vs the bare step fn is
@@ -474,20 +480,44 @@ def main(verbose: bool = False):
     full_fit_validation_err = abs(
         implied_bf16_full - (overhead + per_unit * full_units_early)
     ) / implied_bf16_full
-    # opportunistic: full base + full-depth RepText CN, both fp8 (~15GB).
-    # chain=False: the chained fori_loop over the 57-layer two-model program
-    # reproducibly crashes the remote AOT compile helper; the unchained
-    # timing (distinct pre-staged inputs per dispatch) is slightly
-    # conservative (includes dispatch overhead) but compiles and runs.
+    # Protocol calibration (VERDICT r3 #1): the full base+CN measurement
+    # below uses chain=False (distinct pre-staged inputs per dispatch) while
+    # the depth sweep uses chain=True (in-graph fori_loop). chain=False pays
+    # per-dispatch tunnel overhead; quantify it at (8,16) by timing the SAME
+    # program under BOTH protocols, and use the factor to correct the
+    # full-depth measurement to the chained (deployment lax.scan) protocol.
+    t_816_unchained = measure("base (8,16) chain=False (protocol calib)",
+                              lambda: build_step(8, 16, False),
+                              iters=3, chain=False)
+    protocol_overhead = t_816_unchained / depth_ts[DEPTHS.index((8, 16))]
+    # full base + full-depth RepText CN, both fp8 (~15GB). chain=True first
+    # (the exact deployment protocol — previously the chained 57-layer
+    # two-model program crashed the remote AOT compile helper; retried each
+    # run since the persistent compile cache may carry it); chain=False
+    # fallback is protocol-corrected by the measured dispatch factor.
     t_fp8_full_cn = None
+    fp8_full_cn_protocol = None
     try:
         t_fp8_full_cn = measure(
-            "fp8w FULL base+CN (19,38 + 4,10)",
+            "fp8w FULL base+CN (19,38 + 4,10) chained",
             lambda: build_step(FULL_DOUBLE, FULL_SINGLE, True,
                                weight_quant=True),
-            iters=3, chain=False)
-    except Exception as e:  # noqa: BLE001 — expected: RESOURCE_EXHAUSTED
-        log(f"fp8 full base+CN skipped: {type(e).__name__}: {e}")
+            iters=3, chain=True)
+        fp8_full_cn_protocol = "chained"
+    except Exception as e:  # noqa: BLE001 — AOT helper crash / RESOURCE_EXHAUSTED
+        log(f"fp8 full base+CN chained skipped: {type(e).__name__}: {e}")
+    if t_fp8_full_cn is None:
+        try:
+            t_raw = measure(
+                "fp8w FULL base+CN (19,38 + 4,10)",
+                lambda: build_step(FULL_DOUBLE, FULL_SINGLE, True,
+                                   weight_quant=True),
+                iters=3, chain=False)
+            t_fp8_full_cn = t_raw / protocol_overhead
+            fp8_full_cn_protocol = (
+                f"unchained/{round(protocol_overhead, 4)} dispatch-corrected")
+        except Exception as e:  # noqa: BLE001 — expected: RESOURCE_EXHAUSTED
+            log(f"fp8 full base+CN skipped: {type(e).__name__}: {e}")
 
     # ---- batch scaling probe: compute-bound => t(b=2) ~= 2x t(b=1); the
     # ratio is evidence for the roofline analysis (BASELINE.md), not a lever.
@@ -594,15 +624,41 @@ def main(verbose: bool = False):
     )
 
     images_per_min = 60.0 / t_image
+    # MEASURED headline (VERDICT r3 #1): the full-depth (19,38)+CN step
+    # executed directly (fp8 weight-only storage — the only form of the 12B
+    # model that fits one 16GB chip, i.e. the actual single-chip deployment),
+    # protocol-corrected to the deployment lax.scan dispatch regime, with the
+    # measured sampler scan overhead and per-image costs on top.
+    if t_fp8_full_cn is not None:
+        t_image_measured = (
+            STEPS * t_fp8_full_cn * sampler_factor
+            + t_vae_dec + 2 * t_vae_enc + t_text
+        )
+        headline = 60.0 / t_image_measured
+        metric_name = ("1024^2 30-step FLUX+RepText images/min/chip "
+                       "(reference op-point, MEASURED full-depth fp8-weight "
+                       "single-chip step)")
+    else:
+        headline = images_per_min
+        metric_name = ("1024^2 30-step FLUX+RepText images/min/chip "
+                       "(reference op-point, depth-extrapolated)")
     lo, hi = A100_IMAGES_PER_MIN_BRACKET
     result = {
-        "metric": "1024^2 30-step FLUX+RepText images/min/chip "
-                  "(reference op-point, depth-extrapolated)",
-        "value": round(images_per_min, 4),
+        "metric": metric_name,
+        "value": round(headline, 4),
         "unit": "images/min/chip",
-        "vs_baseline": round(images_per_min / A100_IMAGES_PER_MIN, 4),
-        "vs_baseline_bracket": [round(images_per_min / hi, 4),
-                                round(images_per_min / lo, 4)],
+        "vs_baseline": round(headline / A100_IMAGES_PER_MIN, 4),
+        "vs_baseline_bracket": [round(headline / hi, 4),
+                                round(headline / lo, 4)],
+        # cross-check: the depth-fit composition of the same op-point; the
+        # protocol-corrected measured step should agree to ~2%
+        "images_per_min_extrapolated": round(images_per_min, 4),
+        "protocol_overhead_factor": round(protocol_overhead, 4),
+        "fp8_full_cn_protocol": fp8_full_cn_protocol,
+        "measured_vs_fit_step_discrepancy": (
+            None if t_fp8_full_cn is None else round(
+                abs(t_fp8_full_cn * sampler_factor - t_full_step)
+                / t_full_step, 4)),
         "measured_step_ms_by_depth": {
             f"{d}+{s}": round(t * 1e3, 2) for (d, s), t in zip(depths, depth_ts)
         },
@@ -721,9 +777,24 @@ def main(verbose: bool = False):
         result["overfit_e2e"] = {
             k: ov[k] for k in (
                 "char_accuracy_trained", "char_accuracy_random",
+                "char_accuracy_holdout", "mean_edge_iou_holdout",
                 "mean_edge_iou_trained", "mean_edge_iou_random",
                 "vae_recon_psnr_db", "protocol",
             ) if k in ov
+        }
+    # trained-checkpoint gates (benchmarks/trained_gates.py, VERDICT r3 #2):
+    # velocity-cache / adaptive / fp8 char-accuracy deltas measured against a
+    # TRAINED demo checkpoint instead of random-init wiring checks
+    if os.path.isfile("benchmarks/trained_gates.json"):
+        tg = json.loads(open("benchmarks/trained_gates.json").read())
+        result["trained_gates"] = {
+            k: tg[k] for k in (
+                "char_accuracy_uncached", "char_accuracy_vc_fixed",
+                "char_accuracy_vc_adaptive", "char_accuracy_fp8w",
+                "vc_fixed_delta", "vc_adaptive_delta", "fp8w_delta",
+                "vc_fixed_acceptable", "vc_adaptive_acceptable",
+                "fp8w_acceptable", "weights", "protocol",
+            ) if k in tg
         }
     print(json.dumps(_drop_nonfinite(result)))
 

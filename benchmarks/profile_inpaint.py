@@ -1,0 +1,146 @@
+"""Localize the inpaint op-point MFU gap (VERDICT r3 #3).
+
+The inpaint operating point (RepText/infer_inpaint.py:66-68,132-151) runs
+1280x960 -> 4800 image + 512 text = 5312 joint tokens at CFG batch 2; round 3
+measured ~70% MFU there vs txt2img's ~77-83% at 4608 tokens batch 1. This
+script isolates WHERE the loss lives on the real chip:
+
+1. attention kernel at (2, 24, 5312, 128) across block_q (which also selects
+   the pad: 5376 = 3x1792 chunks at bq<=256, 5632 = 4x1408 at bq=512) vs the
+   4608-token reference point, both against their MXU speed-of-light;
+2. pure linear probe: [2*5312, 3072] x [3072, 12288] vs the 4608-row case
+   (MXU tiling sensitivity to a 41.5*128 row count);
+3. one full double block at both geometries (everything combined).
+
+Usage:  python benchmarks/profile_inpaint.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PEAK_TFLOPS = 197.0  # v5e bf16
+
+
+def timeit_chained(fn, *args, iters=10):
+    """In-graph chained iterations + scalar fetch (tunnel-honest timing,
+    bench.py::timeit semantics). First arg is carried."""
+    def chained(x, *rest):
+        def body(i, xx):
+            o = fn(xx, *rest)
+            o = o[0] if isinstance(o, tuple) else o
+            return (xx + 1e-6 * o.reshape(xx.shape)).astype(xx.dtype)
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    jc = jax.jit(chained)
+    float(jc(*args))
+    t0 = time.perf_counter()
+    float(jc(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def attn_point(b, h, s, d, block_q):
+    from reptext_tpu.ops.flash_attention import _flash_attention_impl
+
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, s, d), jnp.bfloat16)
+    t = timeit_chained(lambda qq, kk, vv: _flash_attention_impl(
+        qq, kk, vv, block_q)[0], q, k, v)
+    flops = 2 * 2 * b * h * s * s * d
+    sol = flops / (PEAK_TFLOPS * 1e12)
+    return {"ms": round(t * 1e3, 3), "sol_ms": round(sol * 1e3, 3),
+            "mxu_frac": round(sol / t, 3)}
+
+
+def linear_point(rows, d_in, d_out):
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (rows, d_in), jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (d_in, d_out), jnp.bfloat16)
+    t = timeit_chained(lambda xx, ww: (xx @ ww) @ ww.T, x, w)
+    flops = 2 * 2 * rows * d_in * d_out  # fwd + transpose-back (carried shape)
+    sol = flops / (PEAK_TFLOPS * 1e12)
+    return {"ms": round(t * 1e3, 3), "sol_ms": round(sol * 1e3, 3),
+            "mxu_frac": round(sol / t, 3)}
+
+
+def block_point(b, s_img, lat_h, lat_w):
+    """One full-width double block fwd at the given geometry."""
+    import dataclasses
+
+    from reptext_tpu.configs import FluxConfig
+    from reptext_tpu.models import FluxTransformer2D
+    from reptext_tpu.ops.latents import prepare_latent_image_ids
+
+    cfg = dataclasses.replace(FluxConfig(), num_layers=1, num_single_layers=0)
+    model = FluxTransformer2D(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    s_txt = 512
+    hidden = jax.random.normal(rng, (b, s_img, 64), jnp.bfloat16)
+    ctx = jax.random.normal(rng, (b, s_txt, 4096), jnp.bfloat16)
+    pooled = jax.random.normal(rng, (b, 768), jnp.bfloat16)
+    t = jnp.full((b,), 0.5, jnp.bfloat16)
+    img_ids = prepare_latent_image_ids(lat_h, lat_w)
+    txt_ids = jnp.zeros((s_txt, 3))
+    guidance = jnp.full((b,), 3.5, jnp.bfloat16)
+    params = jax.jit(model.init)(rng, hidden, ctx, pooled, t, img_ids,
+                                 txt_ids, guidance)
+
+    def fn(h):
+        return model.apply(params, h, ctx, pooled, t, img_ids, txt_ids, guidance)
+
+    tt = timeit_chained(fn, hidden)
+    s = s_img + s_txt
+    dm = 3072
+    # double block linear: qkv+out for both streams (~8*d^2/token... use the
+    # 12*d^2 MAC/token convention from BASELINE.md) + attention
+    flops = 2 * 12 * dm * dm * s * b * 2 + 2 * 2 * 24 * s * s * 128 * b
+    sol = flops / (PEAK_TFLOPS * 1e12)
+    return {"ms": round(tt * 1e3, 3), "sol_ms": round(sol * 1e3, 3),
+            "mxu_frac": round(sol / tt, 3)}
+
+
+def main():
+    out = {"device": str(jax.devices()[0])}
+
+    print("== attention ==", flush=True)
+    out["attn_4608_b1_bq512"] = attn_point(1, 24, 4608, 128, 512)
+    print("4608 b1 bq512:", out["attn_4608_b1_bq512"], flush=True)
+    out["attn_5312_b2_bq512"] = attn_point(2, 24, 5312, 128, 512)
+    print("5312 b2 bq512 (pad 5632, 4 chunks):", out["attn_5312_b2_bq512"],
+          flush=True)
+    out["attn_5312_b2_bq256"] = attn_point(2, 24, 5312, 128, 256)
+    print("5312 b2 bq256 (pad 5376, 3 chunks):", out["attn_5312_b2_bq256"],
+          flush=True)
+    out["attn_5312_b2_bq128"] = attn_point(2, 24, 5312, 128, 128)
+    print("5312 b2 bq128:", out["attn_5312_b2_bq128"], flush=True)
+
+    print("== linear ==", flush=True)
+    out["linear_4608"] = linear_point(4608, 3072, 12288)
+    print("rows 4608:", out["linear_4608"], flush=True)
+    out["linear_10624"] = linear_point(2 * 5312, 3072, 12288)
+    print("rows 10624 (=2x5312):", out["linear_10624"], flush=True)
+
+    print("== double block ==", flush=True)
+    out["block_4608_b1"] = block_point(1, 4096, 128, 128)
+    print("block 4096img b1:", out["block_4608_b1"], flush=True)
+    out["block_5312_b2"] = block_point(2, 4800, 120, 160)
+    print("block 4800img b2:", out["block_5312_b2"], flush=True)
+
+    path = Path(__file__).resolve().parent / "profile_inpaint.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
