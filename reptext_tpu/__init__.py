@@ -17,6 +17,21 @@ A from-scratch rebuild of the capabilities of the RepText FLUX ControlNet stack
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor the user's JAX_PLATFORMS even on hosted-TPU images whose
+    # sitecustomize registers a PJRT tunnel plugin at interpreter start and
+    # re-pins jax_platforms, silently overriding the env var: an explicit
+    # config update after import wins over both (JAX_PLATFORMS=cpu must
+    # mean CPU — wedged-tunnel dispatch hangs look like framework hangs).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # noqa: BLE001 — unknown platform: let jax error at use
+        pass
+
 from reptext_tpu.configs import (  # noqa: F401
     ControlNetConfig,
     FluxConfig,

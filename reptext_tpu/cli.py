@@ -36,7 +36,25 @@ def build_prompt(prompt: str, texts, suffix: str = "") -> str:
     return prompt + suffix
 
 
+def _honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu python -m reptext_tpu.cli ...`` actually run
+    on CPU. Hosted-TPU images may register their PJRT plugin from
+    ``sitecustomize`` at interpreter start and re-pin ``jax_platforms`` to
+    the tunnel backend, silently overriding the user's env var — every
+    "CPU" run then dispatches to the (possibly remote/slow) chip. An
+    explicit config update after import wins over both."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # noqa: BLE001 — unknown platform string: let jax err later
+            pass
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     parser = argparse.ArgumentParser(description="RepText-TPU text-to-image")
     parser.add_argument("--text", action="append",
                         help="text line to render (repeatable)")
