@@ -238,6 +238,80 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
             images = to_pil_images(images)
         return FluxPipelineOutput(images=images) if return_dict else images
 
+    # ------------------------------------------------------- batched serving
+
+    def generate_batch(
+        self,
+        conditions_list,
+        images,                          # list of uint8 [H, W, 3]
+        masks,                           # list of uint8/float [H, W]
+        clip_ids: jax.Array,             # [B, 77]
+        t5_ids: jax.Array,               # [B, S_txt]
+        negative_clip_ids: jax.Array,    # [B, 77]
+        negative_t5_ids: jax.Array,      # [B, S_txt]
+        seeds,
+        guidance_scale: Optional[float] = None,
+        true_guidance_scale: Optional[float] = None,
+        num_inference_steps: Optional[int] = None,
+        output_type: str = "np",
+    ) -> np.ndarray:
+        """B independent inpaint requests in ONE fused dual-CN CFG sampler
+        call (serving's coalescing path — txt2img's generate_batch extended
+        to text editing; the reference serves nothing and batches only
+        num_images_per_prompt copies of one request,
+        RepText/pipeline_flux_controlnet_inpaint.py:373-377). All requests
+        must share num_lines, steps, and the true-CFG scale (the coalescing
+        signature)."""
+        cfg = self.pipe_cfg
+        n_lines = {c.num_lines for c in conditions_list}
+        if len(n_lines) != 1:
+            raise ValueError(f"batch requests must share num_lines, got {n_lines}")
+        b = len(conditions_list)
+        if not (b == len(images) == len(masks) == len(seeds)
+                == clip_ids.shape[0] == t5_ids.shape[0]):
+            raise ValueError("batch inputs have mismatched lengths")
+        steps = num_inference_steps or cfg.num_inference_steps
+        gscale = guidance_scale if guidance_scale is not None else cfg.guidance_scale
+        tscale = (true_guidance_scale if true_guidance_scale is not None
+                  else cfg.true_guidance_scale)
+
+        prompt_embeds, pooled_embeds = self.encode_prompt(clip_ids, t5_ids)
+        neg_embeds, neg_pooled = self.encode_prompt(
+            negative_clip_ids, negative_t5_ids)
+        ctx_cfg = jnp.concatenate([neg_embeds, prompt_embeds], axis=0)
+        pooled_cfg = jnp.concatenate([neg_pooled, pooled_embeds], axis=0)
+
+        cond_l, mask_l, lat_l, inp_l = [], [], [], []
+        for conds, image, mask, seed in zip(conditions_list, images, masks, seeds):
+            rng = jax.random.PRNGKey(int(seed))
+            r_lat, r_cond, r_glyph, r_inp = jax.random.split(rng, 4)
+            ct, tm = self.prepare_control_tokens(conds, r_cond)
+            cond_l.append(ct)
+            mask_l.append(tm)
+            inp_l.append(self.prepare_inpaint_cond(image, mask, r_inp))
+            lat_l.append(self.prepare_latents(r_lat, 1, conds.glyph_canvas, r_glyph))
+        cond_tokens = jnp.stack(cond_l, axis=1)    # [N, B, S, F]
+        token_masks = jnp.stack(mask_l, axis=1)    # [N, B, S, 1]
+        inpaint_cond = jnp.concatenate(inp_l, axis=0)  # [B, S, 68]
+        latents = jnp.concatenate(lat_l, axis=0)   # [B, S, C]
+
+        img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
+        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))
+        guidance = (
+            jnp.full((b,), gscale, jnp.float32)
+            if self.flux.config.guidance_embeds else None
+        )
+        sampler = self._get_inpaint_sampler(steps, tscale)
+        latents = sampler(
+            self.params["flux"], self.params["controlnet"],
+            self.params["inpaint_controlnet"], latents,
+            cond_tokens, token_masks, inpaint_cond,
+            ctx_cfg, pooled_cfg, txt_ids, img_ids, guidance,
+        )
+        if output_type == "latent":
+            return latents
+        return postprocess_images(self._decode(latents))
+
     def _get_inpaint_sampler(self, steps: int, true_scale: float,
                              custom_schedule=None):
         key = ("inpaint", steps, true_scale, custom_schedule)

@@ -92,13 +92,24 @@ def make_inpaint_sampler(
         ctx = prompt_embeds_cfg.astype(compute_dtype)
         pooled = pooled_embeds_cfg.astype(compute_dtype)
         guidance2 = None if guidance is None else jnp.tile(guidance, 2)
-        # RepText conds duplicated for the CFG pair (reference :721-722)
-        cond_rt = jnp.repeat(cond_tokens, b2, axis=0).astype(compute_dtype)  # [N*2B, S, F]
+        # RepText conds duplicated for the CFG pair (reference :721-722).
+        # [N, S, F] = one request's conds shared across the batch;
+        # [N, B, S, F] = per-image conds (cross-request serving batch) —
+        # repeated per CFG half in the x2 = [lat; lat] batch order.
+        if cond_tokens.ndim == 4:
+            cond_rt = jnp.tile(cond_tokens, (1, 2, 1, 1)).reshape(
+                n_lines * b2, cond_tokens.shape[2], cond_tokens.shape[3]
+            ).astype(compute_dtype)                                          # [N*2B, S, F]
+        else:
+            cond_rt = jnp.repeat(cond_tokens, b2, axis=0).astype(compute_dtype)  # [N*2B, S, F]
         ctx_n = jnp.tile(ctx, (n_lines, 1, 1))
         pooled_n = jnp.tile(pooled, (n_lines, 1))
         guidance_n = None if guidance2 is None else jnp.tile(guidance2, n_lines)
         cond_inp = jnp.tile(inpaint_cond, (2, 1, 1)).astype(compute_dtype)   # [2B, S, F]
-        masks = token_masks[None, :, None, :, :]
+        if token_masks.ndim == 4:
+            masks = jnp.tile(token_masks, (1, 2, 1, 1))[None]  # [1, N, 2B, S, 1]
+        else:
+            masks = token_masks[None, :, None, :, :]
 
         def run_reptext(x2, t2):
             block, single = reptext_cn_apply(
@@ -252,10 +263,14 @@ def make_sp_inpaint_sampler(
     def sample(flux_params, reptext_params, inpaint_params, latents,
                cond_tokens, token_masks, inpaint_cond, prompt_embeds_cfg,
                pooled_embeds_cfg, txt_ids, img_ids, guidance):
+        # per-image conds ([N, B, S, F], cross-request serving batch) shard
+        # their token axis one position later (mirror of sampler.py::_specs)
+        cond_spec = tok if cond_tokens.ndim == 3 else P(None, None, axis_name, None)
+        mask_spec = tok if token_masks.ndim == 3 else P(None, None, axis_name, None)
         return jax.shard_map(
             base,
             mesh=mesh,
-            in_specs=(P(), P(), P(), tok, tok, tok, tok,
+            in_specs=(P(), P(), P(), tok, cond_spec, mask_spec, tok,
                       P(), P(), P(), ids, P()),
             out_specs=tok,
             check_vma=False,

@@ -192,9 +192,6 @@ class GenerationWorker:
             except queue.Empty:
                 break
         lead = self._pending[0]
-        if lead.mode == "inpaint":
-            # dual-ControlNet CFG requests run serially (no batched path)
-            return [self._pending.pop(0)]
         sig = self._signature(lead)
         cap = self._cap_for(lead)
         batch, rest = [], []
@@ -328,6 +325,99 @@ class GenerationWorker:
         )
         req._result = np.asarray(images[0])
 
+    def _run_inpaint_batch(self, batch: List[GenerationRequest]) -> None:
+        """Coalesced text inpainting: B same-signature requests in one fused
+        dual-CN CFG sampler call (FluxRepTextInpaintPipeline.generate_batch).
+        Round-3 served inpaint serially; batch-2 costs ~2x one request's
+        step but replaces 2 full sampler invocations (compute-bound regime,
+        BASELINE.md), so coalescing still wins on queueing latency."""
+        if self.inpaint_pipeline is None:
+            raise RuntimeError(
+                "server was started without an inpaint pipeline "
+                "(cli: --serve-inpaint)"
+            )
+        from PIL import Image
+
+        import jax.numpy as jnp
+
+        from reptext_tpu.conditioning import TextLine, build_conditions
+        from reptext_tpu.pipelines import DEFAULT_NEGATIVE_PROMPT
+
+        pipe = self.inpaint_pipeline
+        cfg = pipe.pipe_cfg
+        conds_list, images, masks = [], [], []
+        clip_l, t5_l, nclip_l, nt5_l = [], [], [], []
+        for req in batch:
+            if not req.image_b64 or not req.mask_b64:
+                raise ValueError("inpaint requires image_b64 and mask_b64 (PNG)")
+            img = Image.open(io.BytesIO(base64.b64decode(req.image_b64)))
+            images.append(np.asarray(
+                img.convert("RGB").resize((cfg.width, cfg.height)), np.uint8))
+            msk = Image.open(io.BytesIO(base64.b64decode(req.mask_b64)))
+            masks.append(np.asarray(
+                msk.convert("L").resize((cfg.width, cfg.height)), np.uint8))
+            lines = [
+                TextLine(
+                    l["text"], tuple(l["position"]),
+                    tuple(l.get("color", (255, 255, 255))),
+                    font_size=l.get("font_size"),
+                )
+                for l in req.lines
+            ]
+            conds_list.append(build_conditions(lines, cfg.width, cfg.height))
+            cids, tids = self._tokenize(req.prompt)
+            ncids, ntids = self._tokenize(
+                req.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+            clip_l.append(np.asarray(cids)[0])
+            t5_l.append(np.asarray(tids)[0])
+            nclip_l.append(np.asarray(ncids)[0])
+            nt5_l.append(np.asarray(ntids)[0])
+
+        def pad_stack(rows):
+            # batch-wide pad (id 0 == pad for both vendored tokenizers); the
+            # true-CFG concat needs pos and neg at EQUAL seq length
+            width = max(max(r.shape[0] for r in rows), 1)
+            out = np.zeros((len(rows), width), np.int32)
+            for i, r in enumerate(rows):
+                out[i, : r.shape[0]] = r
+            return out
+
+        t5_width = max(max(t.shape[0] for t in t5_l + nt5_l), 1)
+        t5_ids = np.zeros((len(batch), t5_width), np.int32)
+        nt5_ids = np.zeros((len(batch), t5_width), np.int32)
+        for i, (t, nt) in enumerate(zip(t5_l, nt5_l)):
+            t5_ids[i, : t.shape[0]] = t
+            nt5_ids[i, : nt.shape[0]] = nt
+        clip_ids = pad_stack(clip_l)
+        nclip_ids = pad_stack(nclip_l)
+
+        # power-of-two bucket (repeat the last request): one compiled graph
+        # per bucket, same policy as _run_batch
+        n = len(batch)
+        bucket = _bucket(n, self._cap_for(batch[0]))
+        pad = bucket - n
+        if pad:
+            conds_list += [conds_list[-1]] * pad
+            images += [images[-1]] * pad
+            masks += [masks[-1]] * pad
+            clip_ids = np.concatenate([clip_ids, np.tile(clip_ids[-1:], (pad, 1))])
+            t5_ids = np.concatenate([t5_ids, np.tile(t5_ids[-1:], (pad, 1))])
+            nclip_ids = np.concatenate([nclip_ids, np.tile(nclip_ids[-1:], (pad, 1))])
+            nt5_ids = np.concatenate([nt5_ids, np.tile(nt5_ids[-1:], (pad, 1))])
+        seeds = [r.seed for r in batch] + [batch[-1].seed] * pad
+
+        lead = batch[0]
+        out = pipe.generate_batch(
+            conds_list, images, masks,
+            clip_ids=jnp.asarray(clip_ids), t5_ids=jnp.asarray(t5_ids),
+            negative_clip_ids=jnp.asarray(nclip_ids),
+            negative_t5_ids=jnp.asarray(nt5_ids),
+            seeds=seeds, num_inference_steps=lead.num_steps,
+            guidance_scale=lead.guidance_scale,
+        )
+        for i, req in enumerate(batch):
+            req._result = np.asarray(out[i])
+
     @staticmethod
     def _is_oom(e: Exception) -> bool:
         """Device memory exhaustion (XLA RESOURCE_EXHAUSTED / HBM OOM)."""
@@ -345,8 +435,11 @@ class GenerationWorker:
             return 0
         t0 = time.perf_counter()
         try:
-            if len(batch) == 1 and batch[0].mode == "inpaint":
-                self._run_inpaint(batch[0])
+            if batch[0].mode == "inpaint":
+                if len(batch) == 1:
+                    self._run_inpaint(batch[0])
+                else:
+                    self._run_inpaint_batch(batch)
             elif len(batch) == 1:
                 # Single request: keep the exact __call__ semantics
                 # (img2img, callbacks live here; also the warmed-up graph).

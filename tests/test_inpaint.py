@@ -173,3 +173,63 @@ def test_inpaint_velocity_cache(pipeline):
     d4 = np.abs(cached.astype(np.int32) - linear.astype(np.int32))
     assert d3.max() > 0 and d4.max() > 0
     assert d3.mean() < 64
+
+
+def test_inpaint_generate_batch_matches_individual(pipeline):
+    """Coalesced cross-request inpaint batching (serving path): one fused
+    dual-CN CFG sampler call with per-image conds must reproduce per-request
+    results (mirror of the txt2img generate_batch parity test)."""
+    rng = np.random.default_rng(1)
+    conds_a = build_conditions([TextLine("Hi", (8, 16), font_size=24)], W, H)
+    conds_b = build_conditions([TextLine("Yo", (24, 32), font_size=24)], W, H)
+    img_a = rng.integers(0, 255, (H, W, 3), np.uint8)
+    img_b = rng.integers(0, 255, (H, W, 3), np.uint8)
+    mask_a = np.zeros((H, W), np.uint8); mask_a[8:40, 8:40] = 255
+    mask_b = np.zeros((H, W), np.uint8); mask_b[24:56, 16:48] = 255
+
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0],
+                            [2, 11, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0],
+                          [4, 2, 1, 0, 0, 0]], jnp.int32)
+    neg_clip = jnp.asarray([[2, 255, 0, 0, 0, 0, 0, 0],
+                            [2, 255, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    neg_t5 = jnp.asarray([[4, 1, 0, 0, 0, 0],
+                          [4, 1, 0, 0, 0, 0]], jnp.int32)
+
+    batched = pipeline.generate_batch(
+        [conds_a, conds_b], [img_a, img_b], [mask_a, mask_b],
+        clip_ids=clip_ids, t5_ids=t5_ids,
+        negative_clip_ids=neg_clip, negative_t5_ids=neg_t5,
+        seeds=[7, 13], output_type="latent",
+    )
+    single_a = pipeline(
+        conds_a, image=img_a, mask=mask_a,
+        clip_ids=clip_ids[:1], t5_ids=t5_ids[:1],
+        negative_clip_ids=neg_clip[:1], negative_t5_ids=neg_t5[:1],
+        seed=7, output_type="latent",
+    )
+    single_b = pipeline(
+        conds_b, image=img_b, mask=mask_b,
+        clip_ids=clip_ids[1:], t5_ids=t5_ids[1:],
+        negative_clip_ids=neg_clip[1:], negative_t5_ids=neg_t5[1:],
+        seed=13, output_type="latent",
+    )
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single_a[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single_b[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_inpaint_generate_batch_rejects_mismatched_lines(pipeline):
+    conds_a = build_conditions([TextLine("A", (8, 16), font_size=24)], W, H)
+    conds_b = build_conditions(
+        [TextLine("A", (8, 16), font_size=24), TextLine("B", (24, 40), font_size=20)],
+        W, H)
+    img = np.zeros((H, W, 3), np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    ids = jnp.zeros((2, 4), jnp.int32)
+    with pytest.raises(ValueError, match="num_lines"):
+        pipeline.generate_batch(
+            [conds_a, conds_b], [img, img], [mask, mask],
+            clip_ids=ids, t5_ids=ids, negative_clip_ids=ids,
+            negative_t5_ids=ids, seeds=[1, 2])

@@ -347,3 +347,55 @@ def test_ip_adapter_batch_coalesces_with_plain(server):
     assert r1._error is None and r2._error is None, (r1._error, r2._error)
     np.testing.assert_array_equal(r1._result, b1._result)
     np.testing.assert_array_equal(r2._result, b2._result)
+
+
+def test_worker_coalesces_inpaint_batch(server):
+    """Two queued same-signature INPAINT requests are served by ONE batched
+    dual-CN CFG sampler call (round 4: inpaint coalescing, previously
+    serial)."""
+    import dataclasses
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from reptext_tpu.pipelines import FluxRepTextInpaintPipeline
+    from reptext_tpu.serving import GenerationRequest, GenerationWorker
+    from reptext_tpu.utils.metrics import Metrics
+
+    inpaint_pipe = FluxRepTextInpaintPipeline.create_inpaint(
+        inpaint_cn_cfg=dataclasses.replace(
+            ControlNetConfig().tiny(), extra_condition_channels=4),
+        flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=H, width=W, num_inference_steps=2,
+                                controlnet_conditioning_step=1),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+    )
+    m = Metrics()
+    worker = GenerationWorker(server.worker.pipeline, max_batch=4, metrics=m,
+                              inpaint_pipeline=inpaint_pipe)
+
+    def png_b64(arr):
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (H, W, 3), np.uint8).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[16:48, 16:48] = 255
+    r1 = GenerationRequest(
+        prompt="sign A", lines=[{"text": "Hi", "position": [8, 16]}],
+        mode="inpaint", image_b64=png_b64(img), mask_b64=png_b64(mask), seed=3)
+    r2 = GenerationRequest(
+        prompt="sign B", lines=[{"text": "Yo", "position": [4, 8]}],
+        mode="inpaint", image_b64=png_b64(img), mask_b64=png_b64(mask), seed=9)
+    worker.submit(r1)
+    worker.submit(r2)
+    served = worker._process_once()
+    assert served == 2
+    assert worker.batches == 1 and worker.completed == 2
+    assert r1._error is None and r2._error is None, (r1._error, r2._error)
+    assert r1._result.shape == (H, W, 3) and r2._result.shape == (H, W, 3)
+    assert not (r1._result == r2._result).all()  # distinct seeds/conds
