@@ -370,6 +370,10 @@ def timeit(fn, params, x, iters=10, chain=True, perturb=None):
     - chain=False: each timed dispatch gets a DISTINCT pre-staged input
       (defeats content caching) and fetches a scalar per call.
     """
+    # Best-of-N timed calls: one host hiccup or tunnel stall during THE
+    # timed call otherwise corrupts the point (observed: a contended run
+    # produced a non-monotonic depth sweep, (8,16) at 2.2x its clean time).
+    # min() is the honest estimator for a lower-bound latency measurement.
     if chain:
         def chained(p, h):
             def body(i, hh):
@@ -378,9 +382,12 @@ def timeit(fn, params, x, iters=10, chain=True, perturb=None):
             return jnp.sum(out.astype(jnp.float32))
         jc = jax.jit(chained)
         float(jc(params, x))  # compile + first run
-        start = time.perf_counter()
-        float(jc(params, x))
-        return (time.perf_counter() - start) / iters
+        best = math.inf
+        for _ in range(3):
+            start = time.perf_counter()
+            float(jc(params, x))
+            best = min(best, time.perf_counter() - start)
+        return best / iters
 
     if perturb is None:
         def perturb(v, i):
@@ -389,10 +396,13 @@ def timeit(fn, params, x, iters=10, chain=True, perturb=None):
     xs = jax.device_put(xs)
     jfn = jax.jit(lambda p, v: jnp.sum(fn(p, v).astype(jnp.float32)))
     float(jfn(params, xs[0]))  # compile + first run
-    start = time.perf_counter()
-    for i in range(iters):
-        float(jfn(params, xs[i]))
-    return (time.perf_counter() - start) / iters
+    best = math.inf
+    for _ in range(2):
+        start = time.perf_counter()
+        for i in range(iters):
+            float(jfn(params, xs[i]))
+        best = min(best, time.perf_counter() - start)
+    return best / iters
 
 
 def _lstsq_line(xs, ys):
@@ -489,7 +499,11 @@ def main(verbose: bool = False):
     t_816_unchained = measure("base (8,16) chain=False (protocol calib)",
                               lambda: build_step(8, 16, False),
                               iters=3, chain=False)
-    protocol_overhead = t_816_unchained / depth_ts[DEPTHS.index((8, 16))]
+    # per-dispatch overhead is ADDITIVE (fixed RPC + host-sync latency per
+    # call; inputs are pre-staged and the fetch is one scalar either way),
+    # so the correction subtracts the absolute delta, not a ratio
+    protocol_overhead_ms = max(
+        t_816_unchained - depth_ts[DEPTHS.index((8, 16))], 0.0)
     # full base + full-depth RepText CN, both fp8 (~15GB). chain=True first
     # (the exact deployment protocol — previously the chained 57-layer
     # two-model program crashed the remote AOT compile helper; retried each
@@ -513,9 +527,10 @@ def main(verbose: bool = False):
                 lambda: build_step(FULL_DOUBLE, FULL_SINGLE, True,
                                    weight_quant=True),
                 iters=3, chain=False)
-            t_fp8_full_cn = t_raw / protocol_overhead
+            t_fp8_full_cn = t_raw - protocol_overhead_ms
             fp8_full_cn_protocol = (
-                f"unchained/{round(protocol_overhead, 4)} dispatch-corrected")
+                "unchained minus %.1fms measured dispatch overhead"
+                % (protocol_overhead_ms * 1e3))
         except Exception as e:  # noqa: BLE001 — expected: RESOURCE_EXHAUSTED
             log(f"fp8 full base+CN skipped: {type(e).__name__}: {e}")
 
@@ -653,7 +668,7 @@ def main(verbose: bool = False):
         # cross-check: the depth-fit composition of the same op-point; the
         # protocol-corrected measured step should agree to ~2%
         "images_per_min_extrapolated": round(images_per_min, 4),
-        "protocol_overhead_factor": round(protocol_overhead, 4),
+        "protocol_dispatch_overhead_ms": round(protocol_overhead_ms * 1e3, 2),
         "fp8_full_cn_protocol": fp8_full_cn_protocol,
         "measured_vs_fit_step_discrepancy": (
             None if t_fp8_full_cn is None else round(
@@ -781,6 +796,17 @@ def main(verbose: bool = False):
                 "mean_edge_iou_trained", "mean_edge_iou_random",
                 "vae_recon_psnr_db", "protocol",
             ) if k in ov
+        }
+    # full-geometry CLI rehearsal (benchmarks/e2e_cli.py, VERDICT r3 #4):
+    # wall-clock of the real deployment command at (19,38)+CN fp8w 1024^2
+    if os.path.isfile("benchmarks/e2e_cli.json"):
+        ec = json.loads(open("benchmarks/e2e_cli.json").read())
+        result["e2e_cli_seconds_per_image"] = ec.get("warm_seconds_per_image")
+        result["e2e_cli"] = {
+            k: ec[k] for k in (
+                "config", "cold_seconds", "warm_seconds_per_image",
+                "two_image_seconds", "marginal_second_image_s",
+            ) if k in ec
         }
     # trained-checkpoint gates (benchmarks/trained_gates.py, VERDICT r3 #2):
     # velocity-cache / adaptive / fp8 char-accuracy deltas measured against a

@@ -358,6 +358,12 @@ def main(argv=None) -> int:
         compute_dtype=dtype, param_dtype=dtype,
         attention_backend=(None if args.attention_backend == "auto"
                            else args.attention_backend),
+        # full-geometry fp8 demo mode: DEFERRED on-device fp8 synthesis +
+        # sequential residency (the 12B model's 24GB bf16 cannot init on a
+        # 16GB chip, and full fp8 flux+CN can't co-reside with T5-XXL) —
+        # see FluxRepTextPipeline._random_init_fp8 / _stage_core_params
+        fp8_random_init=(params is None and args.weight_dtype == "fp8"
+                         and not args.tiny),
     )
     if inpaint:
         from reptext_tpu.pipelines import FluxRepTextInpaintPipeline

@@ -106,8 +106,18 @@ class FluxRepTextPipeline:
         compute_dtype: Any = jnp.float32,
         param_dtype: Any = jnp.float32,
         attention_backend: Optional[str] = None,
+        fp8_random_init: bool = False,
     ) -> "FluxRepTextPipeline":
-        """Construct models; if ``params`` is None, random-init (smoke tests)."""
+        """Construct models; if ``params`` is None, random-init (smoke tests).
+
+        ``fp8_random_init``: synthesize the flux/ControlNet trees HOST-side
+        directly in fp8 weight-only storage format (io/quantize.py
+        random_params_like over init shapes) — the only way to stand up the
+        TRUE full-depth 12B model with random weights (24GB bf16 cannot init
+        on a 16GB chip; its 12GB fp8 form can't even be produced by
+        on-device init). Pair with quantize_weights() (idempotent on
+        storage-format trees) and sequential residency (see __call__).
+        """
         flux = FluxTransformer2D(
             flux_cfg, attention_backend=attention_backend,
             dtype=compute_dtype, param_dtype=param_dtype,
@@ -121,9 +131,16 @@ class FluxRepTextPipeline:
         t5 = T5Encoder(t5_cfg, compute_dtype, param_dtype) if t5_cfg else None
 
         if params is None:
-            params = cls._random_init(
-                flux, cn, vae, clip, t5, flux_cfg, cn_cfg, vae_cfg, pipe_cfg, seed
-            )
+            if fp8_random_init:
+                params = cls._random_init_fp8(
+                    flux, cn, vae, clip, t5, flux_cfg, cn_cfg, vae_cfg,
+                    pipe_cfg, seed
+                )
+            else:
+                params = cls._random_init(
+                    flux, cn, vae, clip, t5, flux_cfg, cn_cfg, vae_cfg,
+                    pipe_cfg, seed
+                )
         return cls(
             flux=flux, controlnet=cn, vae=vae, params=params, pipe_cfg=pipe_cfg,
             clip=clip, t5=t5, compute_dtype=compute_dtype,
@@ -168,6 +185,89 @@ class FluxRepTextPipeline:
         if t5 is not None:
             params["t5"] = t5.init(k_t5, jnp.zeros((1, 16), jnp.int32))
         return params
+
+    _FP8_SHAPES = "__fp8_shapes__"   # deferred-synthesis sentinel key
+
+    @staticmethod
+    def _random_init_fp8(flux, cn, vae, clip, t5, flux_cfg, cn_cfg, vae_cfg,
+                         pipe_cfg, seed):
+        """DEFERRED fp8-storage synthesis of the flux/CN trees: only their
+        init SHAPES are computed now (eval_shape — zero bytes); the small
+        models init on device as usual. ``_stage_core_params`` later drops
+        the text encoders from HBM and generates the storage-format trees
+        directly on device (io/quantize.py random_params_like) — full fp8
+        flux+CN (~15GB) and T5-XXL (~9.4GB) cannot co-reside on a 16GB
+        chip, so residency is sequenced: encoders first, core after — the
+        reference's model_cpu_offload_seq
+        ("text_encoder->text_encoder_2->transformer->vae",
+        RepText/pipeline_flux_controlnet.py:190) done TPU-style."""
+        rng = jax.random.PRNGKey(seed)
+        k_flux, k_cn, k_vae, k_clip, k_t5 = jax.random.split(rng, 5)
+        s_img = pipe_cfg.image_seq_len
+        s_txt = 8
+        img_ids = prepare_latent_image_ids(
+            pipe_cfg.latent_height, pipe_cfg.latent_width)
+        txt_ids = jnp.zeros((s_txt, 3))
+
+        flux_shapes = jax.eval_shape(
+            flux.init, k_flux,
+            jnp.zeros((1, s_img, flux_cfg.in_channels)),
+            jnp.zeros((1, s_txt, flux_cfg.joint_attention_dim)),
+            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+            jnp.zeros((1,)), img_ids, txt_ids,
+            jnp.ones((1,)) if flux_cfg.guidance_embeds else None,
+        )
+        cn_shapes = jax.eval_shape(
+            cn.init, k_cn,
+            jnp.zeros((1, s_img, cn_cfg.in_channels)),
+            jnp.zeros((1, s_img,
+                       cn_cfg.in_channels + cn_cfg.extra_condition_channels)),
+            jnp.zeros((1, s_txt, cn_cfg.joint_attention_dim)),
+            jnp.zeros((1, cn_cfg.pooled_projection_dim)),
+            jnp.zeros((1,)), img_ids, txt_ids,
+            jnp.ones((1,)) if cn_cfg.guidance_embeds else None,
+        )
+        K = FluxRepTextPipeline._FP8_SHAPES
+        params: Dict[str, Any] = {
+            "flux": {K: flux_shapes["params"], "seed": 0},
+            "controlnet": {K: cn_shapes["params"], "seed": 1},
+        }
+        params["vae"] = vae.init(
+            k_vae, jnp.zeros((1, 8 * vae_cfg.scale_factor,
+                              8 * vae_cfg.scale_factor, 3))
+        )
+        if clip is not None:
+            params["clip"] = clip.init(
+                k_clip,
+                jnp.zeros((1, clip.config.max_position_embeddings), jnp.int32))
+        if t5 is not None:
+            params["t5"] = t5.init(k_t5, jnp.zeros((1, 16), jnp.int32))
+        return params
+
+    def _core_params_deferred(self) -> bool:
+        tree = self.params.get("flux")
+        return isinstance(tree, dict) and self._FP8_SHAPES in tree
+
+    def _stage_core_params(self) -> None:
+        """Sequential residency swap: prompts are encoded — DROP the text
+        encoders from HBM (random weights are regenerable; converted
+        checkpoints reload from disk), then synthesize the deferred fp8
+        flux/CN trees directly on the device."""
+        if not self._core_params_deferred():
+            return
+        import gc
+
+        from reptext_tpu.io.quantize import random_params_like
+
+        for k in ("clip", "t5"):
+            if self.params.get(k) is not None:
+                self.params[k] = None
+        self._text_encoders_dropped = True
+        gc.collect()
+        for name in ("flux", "controlnet"):
+            spec = self.params[name]
+            self.params[name] = {"params": random_params_like(
+                spec[self._FP8_SHAPES], seed=spec["seed"])}
 
     # ----------------------------------------------------------- resolutions
 
@@ -279,7 +379,13 @@ class FluxRepTextPipeline:
         self.params = dict(self.params)
         for name in ("flux", "controlnet", "inpaint_controlnet"):
             if name in self.params:
-                tree = dict(self.params[name])
+                tree = self.params[name]
+                if isinstance(tree, dict) and self._FP8_SHAPES in tree:
+                    # deferred fp8_random_init: synthesized in storage format
+                    # at stage time (_stage_core_params) — only the model
+                    # flags flip here
+                    continue
+                tree = dict(tree)
                 tree["params"] = jax.device_put(quantize_params(tree["params"]))
                 self.params[name] = tree
         self.flux = self.flux.clone(weight_quant=True)
@@ -422,6 +528,12 @@ class FluxRepTextPipeline:
                 f"T5 sequence {t5_ids.shape[1]} exceeds max "
                 f"{self.pipe_cfg.max_sequence_length}"
             )
+        if getattr(self, "_text_encoders_dropped", False):
+            raise ValueError(
+                "text encoders were evicted by sequential residency "
+                "(_stage_core_params); encode every prompt BEFORE the first "
+                "sampling call, or pass prompt_embeds/pooled_embeds directly"
+            )
         _, pooled = self._clip_apply(self.params["clip"], clip_ids)
         seq = self._t5_apply(self.params["t5"], t5_ids)
         return seq, pooled
@@ -562,6 +674,9 @@ class FluxRepTextPipeline:
         rng = jax.random.PRNGKey(seed)
         r_lat, r_cond, r_glyph = jax.random.split(rng, 3)
         cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
+        # sequential residency: prompts + conds are encoded; swap the text
+        # encoders out of HBM for the (host-synthesized) core model
+        self._stage_core_params()
 
         sampler = self._get_sampler(steps, custom_schedule)
         schedule = self._schedules[

@@ -214,3 +214,52 @@ def test_pipeline_quantize_weights_smoke():
     t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
     img = pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=0)
     assert np.isfinite(np.asarray(img, np.float64)).all()
+
+
+@pytest.mark.slow
+def test_fp8_random_init_sequential_residency():
+    """Full-geometry demo mode at tiny scale: deferred on-device fp8
+    synthesis + text-encoder eviction (the 12B single-chip path: encoders
+    own HBM first, the core after — reference model_cpu_offload_seq,
+    RepText/pipeline_flux_controlnet.py:190)."""
+    import numpy as np
+
+    from reptext_tpu.configs import (
+        CLIPConfig, ControlNetConfig, FluxConfig, PipelineConfig, T5Config,
+        VAEConfig,
+    )
+    from reptext_tpu.conditioning import TextLine, build_conditions
+    from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    H = W = 64
+    pipe = FluxRepTextPipeline.create(
+        flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
+        vae_cfg=VAEConfig().tiny(),
+        pipe_cfg=PipelineConfig(height=H, width=W, num_inference_steps=2,
+                                controlnet_conditioning_step=1),
+        clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+        fp8_random_init=True,
+    )
+    assert pipe._core_params_deferred()
+    pipe.quantize_weights()          # flips model flags; synthesis stays deferred
+    assert pipe._core_params_deferred()
+
+    conds = build_conditions([TextLine("Hi", (8, 16), font_size=24)], W, H)
+    clip_ids = jnp.asarray([[3, 7, 255, 0, 0, 0, 0, 0]], jnp.int32)
+    t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
+    img = pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=5)
+    assert img.shape == (1, H, W, 3) and np.isfinite(img.astype(np.float64)).all()
+    # staged: core trees are real storage-format params now
+    assert not pipe._core_params_deferred()
+    from reptext_tpu.io.quantize import is_quantized
+
+    assert is_quantized(pipe.params["flux"])
+    # encoders were evicted; a second prompt must fail loudly...
+    with pytest.raises(ValueError, match="sequential residency"):
+        pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=6)
+    # ...but pre-encoded embeds still sample (deterministic per seed)
+    a = pipe(conds,
+             prompt_embeds=jnp.zeros((1, 6, pipe.t5.config.d_model)),
+             pooled_embeds=jnp.zeros((1, pipe.clip.config.hidden_size)),
+             seed=5, output_type="latent")
+    assert np.isfinite(np.asarray(a)).all()
