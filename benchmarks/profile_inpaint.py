@@ -51,15 +51,24 @@ def timeit_chained(fn, *args, iters=10):
     return best / iters
 
 
-def attn_point(b, h, s, d, block_q):
-    from reptext_tpu.ops.flash_attention import _flash_attention_impl
+def attn_point(b, h, s, d, block_q, rope=False):
+    from reptext_tpu.ops.flash_attention import (
+        _flash_attention_impl, _flash_attention_rope_impl,
+    )
 
     rng = jax.random.PRNGKey(0)
     q = jax.random.normal(rng, (b, h, s, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, s, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, s, d), jnp.bfloat16)
-    t = timeit_chained(lambda qq, kk, vv: _flash_attention_impl(
-        qq, kk, vv, block_q)[0], q, k, v)
+    if rope:
+        # the model's actual path: RoPE fused into the kernel
+        cos = jnp.cos(jnp.linspace(0, 3, s * d)).reshape(s, d).astype(jnp.float32)
+        sin = jnp.sin(jnp.linspace(0, 3, s * d)).reshape(s, d).astype(jnp.float32)
+        t = timeit_chained(lambda qq, kk, vv: _flash_attention_rope_impl(
+            qq, kk, vv, cos, sin, block_q)[0], q, k, v)
+    else:
+        t = timeit_chained(lambda qq, kk, vv: _flash_attention_impl(
+            qq, kk, vv, block_q)[0], q, k, v)
     flops = 2 * 2 * b * h * s * s * d
     sol = flops / (PEAK_TFLOPS * 1e12)
     return {"ms": round(t * 1e3, 3), "sol_ms": round(sol * 1e3, 3),
@@ -77,15 +86,16 @@ def linear_point(rows, d_in, d_out):
             "mxu_frac": round(sol / t, 3)}
 
 
-def block_point(b, s_img, lat_h, lat_w):
-    """One full-width double block fwd at the given geometry."""
+def block_point(b, s_img, lat_h, lat_w, n_double=1, n_single=2):
+    """A small full-width block stack fwd at the given geometry."""
     import dataclasses
 
     from reptext_tpu.configs import FluxConfig
     from reptext_tpu.models import FluxTransformer2D
     from reptext_tpu.ops.latents import prepare_latent_image_ids
 
-    cfg = dataclasses.replace(FluxConfig(), num_layers=1, num_single_layers=0)
+    cfg = dataclasses.replace(FluxConfig(), num_layers=n_double,
+                              num_single_layers=n_single)
     model = FluxTransformer2D(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     s_txt = 512
@@ -105,9 +115,11 @@ def block_point(b, s_img, lat_h, lat_w):
     tt = timeit_chained(fn, hidden)
     s = s_img + s_txt
     dm = 3072
-    # double block linear: qkv+out for both streams (~8*d^2/token... use the
-    # 12*d^2 MAC/token convention from BASELINE.md) + attention
-    flops = 2 * 12 * dm * dm * s * b * 2 + 2 * 2 * 24 * s * s * 128 * b
+    units = n_double + n_single / 2
+    # per BASELINE.md convention: ~12*d^2 MACs/token per block-unit of
+    # linear work + the attention matmuls
+    flops = (2 * 12 * dm * dm * s * b * 2 * units
+             + 2 * 2 * 24 * s * s * 128 * b * (n_double + n_single))
     sol = flops / (PEAK_TFLOPS * 1e12)
     return {"ms": round(tt * 1e3, 3), "sol_ms": round(sol * 1e3, 3),
             "mxu_frac": round(sol / tt, 3)}
@@ -115,33 +127,43 @@ def block_point(b, s_img, lat_h, lat_w):
 
 def main():
     out = {"device": str(jax.devices()[0])}
+    path = Path(__file__).resolve().parent / "profile_inpaint.json"
 
-    print("== attention ==", flush=True)
-    out["attn_4608_b1_bq512"] = attn_point(1, 24, 4608, 128, 512)
-    print("4608 b1 bq512:", out["attn_4608_b1_bq512"], flush=True)
-    out["attn_5312_b2_bq512"] = attn_point(2, 24, 5312, 128, 512)
-    print("5312 b2 bq512 (pad 5632, 4 chunks):", out["attn_5312_b2_bq512"],
-          flush=True)
-    out["attn_5312_b2_bq256"] = attn_point(2, 24, 5312, 128, 256)
-    print("5312 b2 bq256 (pad 5376, 3 chunks):", out["attn_5312_b2_bq256"],
-          flush=True)
-    out["attn_5312_b2_bq128"] = attn_point(2, 24, 5312, 128, 128)
-    print("5312 b2 bq128:", out["attn_5312_b2_bq128"], flush=True)
+    def record(key, label, fn):
+        # incremental + fault-tolerant: a remote-compile transport failure
+        # on one point must not discard the measured ones
+        try:
+            out[key] = fn()
+        except Exception as e:  # noqa: BLE001
+            out[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(f"{label}: {out[key]}", flush=True)
+        path.write_text(json.dumps(out, indent=1))
+
+    print("== attention (plain kernel) ==", flush=True)
+    record("attn_4608_b1_bq512", "4608 b1 bq512",
+           lambda: attn_point(1, 24, 4608, 128, 512))
+    record("attn_5312_b2_bq512", "5312 b2 bq512 (pad 5632, 4 chunks)",
+           lambda: attn_point(2, 24, 5312, 128, 512))
+    record("attn_5312_b2_bq256", "5312 b2 bq256 (pad 5376, 3 chunks)",
+           lambda: attn_point(2, 24, 5312, 128, 256))
+
+    print("== attention (rope-fused kernel — the model's path) ==", flush=True)
+    record("attn_rope_4608_b1", "rope 4608 b1",
+           lambda: attn_point(1, 24, 4608, 128, 512, rope=True))
+    record("attn_rope_5312_b2", "rope 5312 b2",
+           lambda: attn_point(2, 24, 5312, 128, 512, rope=True))
 
     print("== linear ==", flush=True)
-    out["linear_4608"] = linear_point(4608, 3072, 12288)
-    print("rows 4608:", out["linear_4608"], flush=True)
-    out["linear_10624"] = linear_point(2 * 5312, 3072, 12288)
-    print("rows 10624 (=2x5312):", out["linear_10624"], flush=True)
+    record("linear_4608", "rows 4608", lambda: linear_point(4608, 3072, 12288))
+    record("linear_10624", "rows 10624 (=2x5312)",
+           lambda: linear_point(2 * 5312, 3072, 12288))
 
-    print("== double block ==", flush=True)
-    out["block_4608_b1"] = block_point(1, 4096, 128, 128)
-    print("block 4096img b1:", out["block_4608_b1"], flush=True)
-    out["block_5312_b2"] = block_point(2, 4800, 120, 160)
-    print("block 4800img b2:", out["block_5312_b2"], flush=True)
+    print("== block stack (1 double + 2 single, full width) ==", flush=True)
+    record("stack_4608_b1", "stack 4096img b1",
+           lambda: block_point(1, 4096, 128, 128))
+    record("stack_5312_b2", "stack 4800img b2",
+           lambda: block_point(2, 4800, 120, 160))
 
-    path = Path(__file__).resolve().parent / "profile_inpaint.json"
-    path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}", flush=True)
 
 
