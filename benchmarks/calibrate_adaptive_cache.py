@@ -77,6 +77,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint-dir", default=None,
                         help="converted weights; full geometry + 1024^2 when set")
+    parser.add_argument("--demo-ckpt", default=None,
+                        help="TRAINED demo checkpoint from examples/"
+                             "overfit_e2e.py --params-cache: demo geometry "
+                             "at 128^2 — the calibration then runs on a "
+                             "non-random drift trace (VERDICT r3 #2)")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--thresholds", default="0.02,0.05,0.08,0.12",
                         help="comma-separated candidate thresholds")
@@ -97,10 +102,11 @@ def main(argv=None):
     from reptext_tpu.pipelines import FluxRepTextPipeline
 
     real = args.checkpoint_dir is not None
-    size = 1024 if real else 256
-    steps = args.steps or (30 if real else 6)
+    demo = args.demo_ckpt is not None and not real
+    size = 1024 if real else (128 if demo else 256)
+    steps = args.steps or (30 if real else (20 if demo else 6))
     warmup = args.warmup if args.warmup is not None else max(steps // 3, 1)
-    font = int(size * 80 / 1024) if real else 48
+    font = int(size * 80 / 1024) if real else (32 if demo else 48)
     thresholds = [float(t) for t in args.thresholds.split(",")]
 
     pipe_cfg = PipelineConfig(
@@ -115,6 +121,17 @@ def main(argv=None):
         params = load_pipeline_params(args.checkpoint_dir)
         cfgs = dict(flux_cfg=FluxConfig(), cn_cfg=ControlNetConfig(),
                     vae_cfg=VAEConfig(), clip_cfg=CLIPConfig(), t5_cfg=T5Config())
+    elif demo:
+        # trained demo checkpoint (overfit_e2e geometry): the drift trace and
+        # the recommended threshold come from REAL trained dynamics
+        from examples.overfit_e2e import demo_cn_cfg, demo_flux_cfg, demo_vae_cfg
+        from reptext_tpu.io.checkpoint import load_pipeline_params
+
+        saved = load_pipeline_params(args.demo_ckpt)
+        params = None  # random clip/t5 init; flux/cn/vae replaced below
+        cfgs = dict(flux_cfg=demo_flux_cfg(), cn_cfg=demo_cn_cfg(),
+                    vae_cfg=demo_vae_cfg(), clip_cfg=CLIPConfig().tiny(),
+                    t5_cfg=T5Config().tiny())
     else:
         params = None
         cfgs = dict(flux_cfg=FluxConfig().tiny(), cn_cfg=ControlNetConfig().tiny(),
@@ -122,10 +139,18 @@ def main(argv=None):
                     t5_cfg=T5Config().tiny())
     pipe = FluxRepTextPipeline.create(pipe_cfg=pipe_cfg, params=params,
                                       **cfgs, **common)
+    if demo:
+        for k in ("vae", "flux", "controlnet"):
+            pipe.params[k] = saved[k]
     params = pipe.params  # reuse the same weights across all variant pipelines
 
-    lines = [TextLine("مرحبا", (size // 8, size // 4), font_size=font),
-             TextLine("Hi", (size // 8, size // 2), font_size=font)]
+    if demo:
+        # words the demo checkpoint was trained to draw (overfit protocol)
+        lines = [TextLine("نور", (18, 24), font_size=font),
+                 TextLine("HI", (18, 72), font_size=font)]
+    else:
+        lines = [TextLine("مرحبا", (size // 8, size // 4), font_size=font),
+                 TextLine("Hi", (size // 8, size // 2), font_size=font)]
     conds = build_conditions(lines, size, size)
     from reptext_tpu.cli import _tokenize
 
@@ -195,7 +220,9 @@ def main(argv=None):
     out = {
         "seed": SEED, "size": size, "steps": steps, "warmup": warmup,
         "mode": args.mode, "max_skip": args.max_skip,
-        "weights": "converted" if real else "random-init (tiny geometry)",
+        "weights": ("converted" if real else
+                    "TRAINED demo checkpoint (%s)" % args.demo_ckpt if demo
+                    else "random-init (tiny geometry)"),
         "char_accuracy_uncached": ref_acc,
         "sweep": rows,
         "recommended_threshold": recommended,
@@ -204,7 +231,7 @@ def main(argv=None):
             "trajectory (cached trajectories drift slightly) using post-step "
             "latents (one Euler update later than the in-graph signal)",
             "random-init sweeps exercise the mechanics only; calibrate on "
-            "converted weights",
+            "converted or trained (--demo-ckpt) weights",
         ],
     }
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,139 @@
+"""Fidelity gates against a TRAINED checkpoint (VERDICT r3 #2).
+
+Round 3's velocity-cache / fp8 acceptance gates compared random-init
+accuracies of 0.0 vs 0.0 — vacuous. This tool re-runs every gate against the
+trained demo checkpoint produced by ``examples/overfit_e2e.py
+--params-cache <dir>`` (the only non-random weights available without
+network egress): uncached reference accuracy, fixed-interval velocity cache,
+adaptive velocity cache, and fp8 weight-only storage, each scored by the
+frozen OCR judge on the same fixed-seed samples.
+
+Gate: base accuracy >= 0.9 and each variant's delta < 0.05 (the demo
+geometry is 2+4 blocks at 128^2 — small models bend more under step
+skipping than the 12B target; the per-variant deltas are the evidence, the
+gate bounds them).
+
+Usage:
+    python examples/overfit_e2e.py --holdout --params-cache results/overfit_ckpt
+    python benchmarks/trained_gates.py --params-cache results/overfit_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--params-cache", default="results/overfit_ckpt")
+    ap.add_argument("--steps-sample", type=int, default=20)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--adaptive-threshold", type=float, default=0.05)
+    ap.add_argument("--output", default="benchmarks/trained_gates.json")
+    ap.add_argument("--allow-low-accuracy", action="store_true",
+                    help="wiring checks on under-trained checkpoints: skip "
+                         "the base-accuracy>=0.9 exit assertion")
+    args = ap.parse_args(argv)
+
+    from examples.overfit_e2e import (
+        TRAIN_WORDS, build_overfit_set, demo_cn_cfg, demo_flux_cfg,
+        demo_vae_cfg, precompute_batch, sample_and_score,
+    )
+    from reptext_tpu.configs import CLIPConfig, PipelineConfig, T5Config
+    from reptext_tpu.eval import ocr as ocr_judge
+    from reptext_tpu.io.checkpoint import load_pipeline_params
+    from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    saved = load_pipeline_params(args.params_cache)
+    judge = ocr_judge.load_judge()
+    # all 16 training words: finer accuracy granularity than the 8-word
+    # subset (one misread word = 0.0625, not 0.125)
+    samples = build_overfit_set(args.size, words=TRAIN_WORDS)
+
+    def build(pipe_cfg):
+        pipe = FluxRepTextPipeline.create(
+            flux_cfg=demo_flux_cfg(), cn_cfg=demo_cn_cfg(),
+            vae_cfg=demo_vae_cfg(), pipe_cfg=pipe_cfg,
+            clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(), seed=0,
+        )
+        for k in ("vae", "flux", "controlnet"):
+            pipe.params[k] = saved[k]
+        return pipe
+
+    base_cfg = PipelineConfig(
+        height=args.size, width=args.size,
+        num_inference_steps=args.steps_sample,
+        controlnet_conditioning_step=args.steps_sample,
+    )
+    pipe = build(base_cfg)
+    batch = precompute_batch(pipe, samples)
+
+    print("[1/4] uncached reference...", flush=True)
+    res_ref = sample_and_score(pipe, samples, batch, args.steps_sample, judge)
+
+    print("[2/4] fixed-interval velocity cache (interval 2)...", flush=True)
+    vc_cfg = dataclasses.replace(
+        base_cfg, velocity_cache_interval=2,
+        velocity_cache_warmup=max(args.steps_sample // 3, 1),
+        velocity_cache_mode="linear",
+    )
+    res_vc = sample_and_score(build(vc_cfg), samples, batch,
+                              args.steps_sample, judge)
+
+    print("[3/4] adaptive velocity cache...", flush=True)
+    ad_cfg = dataclasses.replace(
+        base_cfg, velocity_cache_mode="adaptive-linear",
+        velocity_cache_threshold=args.adaptive_threshold,
+        velocity_cache_warmup=max(args.steps_sample // 3, 1),
+        velocity_cache_max_skip=3,
+    )
+    res_ad = sample_and_score(build(ad_cfg), samples, batch,
+                              args.steps_sample, judge)
+
+    print("[4/4] fp8 weight-only storage...", flush=True)
+    pipe_fp8 = build(base_cfg)
+    pipe_fp8.quantize_weights()
+    res_fp8 = sample_and_score(pipe_fp8, samples, batch,
+                               args.steps_sample, judge)
+
+    acc = res_ref["char_accuracy"]
+    out = {
+        "protocol": "trained demo checkpoint (%s), %d words, %d^2, "
+                    "%d steps, seed-fixed" % (
+                        args.params_cache, len(samples), args.size,
+                        args.steps_sample),
+        "weights": "trained (overfit_e2e demo checkpoint)",
+        "char_accuracy_uncached": round(acc, 4),
+        "char_accuracy_vc_fixed": round(res_vc["char_accuracy"], 4),
+        "char_accuracy_vc_adaptive": round(res_ad["char_accuracy"], 4),
+        "char_accuracy_fp8w": round(res_fp8["char_accuracy"], 4),
+        "vc_fixed_delta": round(acc - res_vc["char_accuracy"], 4),
+        "vc_adaptive_delta": round(acc - res_ad["char_accuracy"], 4),
+        "fp8w_delta": round(acc - res_fp8["char_accuracy"], 4),
+        "adaptive_threshold": args.adaptive_threshold,
+        "base_accuracy_acceptable": bool(acc >= 0.9),
+        "vc_fixed_acceptable": bool(acc - res_vc["char_accuracy"] < 0.05),
+        "vc_adaptive_acceptable": bool(acc - res_ad["char_accuracy"] < 0.05),
+        "fp8w_acceptable": bool(acc - res_fp8["char_accuracy"] < 0.05),
+        "mean_edge_iou_uncached": round(res_ref["mean_edge_iou"], 4),
+        "mean_edge_iou_vc_fixed": round(res_vc["mean_edge_iou"], 4),
+        "mean_edge_iou_fp8w": round(res_fp8["mean_edge_iou"], 4),
+    }
+    Path(args.output).write_text(json.dumps(out, indent=1))
+    print(json.dumps(out, indent=1))
+    print(f"wrote {args.output}")
+    if not args.allow_low_accuracy:
+        assert out["base_accuracy_acceptable"], out
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

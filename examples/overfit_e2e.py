@@ -67,6 +67,11 @@ SIZE = 128
 # Overfit set: Arabic + Latin + digits, all inside the OCR judge charset,
 # short enough to fit a 128px canvas at a legible font size.
 WORDS = ["مرحبا", "نور", "CAFE", "STOP", "سوق", "2026", "بحر", "HI"]
+# --holdout mode (VERDICT r3 #2): train on a LARGER pool, score on words the
+# model never saw — glyph-conditioned generation must generalize (the
+# ControlNet carries the shape; memorization can't explain held-out reads).
+TRAIN_WORDS = WORDS + ["ليل", "GOLD", "شمس", "1987", "MARK", "درب", "فن", "WAVE"]
+HOLDOUT_WORDS = ["سلام", "TAXI", "قمر", "404", "نهر", "OK", "باب", "Fox"]
 PROMPT = "a sign with text"
 
 
@@ -90,11 +95,13 @@ def demo_vae_cfg() -> VAEConfig:
     )
 
 
-def build_overfit_set(size: int = SIZE, font_path: Optional[str] = None) -> List[Dict]:
+def build_overfit_set(size: int = SIZE, font_path: Optional[str] = None,
+                      words: Optional[List[str]] = None,
+                      seed: int = 7) -> List[Dict]:
     """K fixed (text, conditions, target image) samples, deterministic."""
-    rnd = np.random.default_rng(7)
+    rnd = np.random.default_rng(seed)
     samples = []
-    for i, text in enumerate(WORDS):
+    for i, text in enumerate(words if words is not None else WORDS):
         font_size = max(12, int(size * (0.28 if len(text) <= 4 else 0.23)))
         x_hi = max(5, size - int(0.62 * font_size * len(text)))
         y_hi = max(9, size - int(1.6 * font_size))
@@ -201,7 +208,7 @@ def precompute_batch(pipe: FluxRepTextPipeline, samples: List[Dict]) -> Dict:
         bbox = glyph_ink_bbox(s["conds"].glyph_canvas)
         ocr_boxes[i] = (aspect_box(bbox, cfg.height, cfg.width) if bbox
                         else np.asarray([0, 0, 1, 1], np.float32))
-        ids = [CHAR_TO_ID[c] for c in s["text"].upper() if c in CHAR_TO_ID][:MAX_LABEL]
+        ids = [CHAR_TO_ID[c] for c in s["text"] if c in CHAR_TO_ID][:MAX_LABEL]
         ocr_labels[i, : len(ids)] = ids
         ocr_paddings[i, : len(ids)] = 0.0
     return {
@@ -316,10 +323,17 @@ def main(argv=None) -> int:
     ap.add_argument("--params-cache", default=None,
                     help="orbax dir: save trained params there (or reuse "
                          "them if present) so re-scoring skips training")
+    ap.add_argument("--holdout", action="store_true",
+                    help="generalization protocol: train on TRAIN_WORDS "
+                         "(16), additionally score HOLDOUT_WORDS (8) the "
+                         "model never saw")
     args = ap.parse_args(argv)
 
     t_start = time.time()
-    samples = build_overfit_set(args.size)
+    train_words = TRAIN_WORDS if args.holdout else WORDS
+    samples = build_overfit_set(args.size, words=train_words)
+    holdout_samples = (build_overfit_set(args.size, words=HOLDOUT_WORDS,
+                                         seed=23) if args.holdout else None)
 
     pipe_cfg = PipelineConfig(
         height=args.size, width=args.size,
@@ -399,12 +413,19 @@ def main(argv=None) -> int:
 
     pipe.params.update(trained)
     res_trained = sample_and_score(pipe, samples, batch, args.steps_sample, judge)
+    res_holdout = (sample_and_score(pipe, holdout_samples, batch,
+                                    args.steps_sample, judge)
+                   if holdout_samples is not None else None)
     pipe.params.update(random_params)
     res_random = sample_and_score(pipe, samples, batch, args.steps_sample, judge)
 
     out = {
-        "protocol": "overfit-memorization, K=%d pairs, %d^2, %d sample steps"
-                    % (len(samples), args.size, args.steps_sample),
+        "protocol": ("held-out generalization, train K=%d / eval %d unseen "
+                     "words, %d^2, %d sample steps"
+                     % (len(samples), len(holdout_samples), args.size,
+                        args.steps_sample)) if args.holdout else
+                    ("overfit-memorization, K=%d pairs, %d^2, %d sample steps"
+                     % (len(samples), args.size, args.steps_sample)),
         "vae_recon_psnr_db": None if psnr is None else round(psnr, 2),
         "train_steps_vae": args.steps_vae,
         "train_steps_flux": args.steps_flux,
@@ -414,7 +435,10 @@ def main(argv=None) -> int:
         "char_accuracy_random": round(res_random["char_accuracy"], 4),
         "mean_edge_iou_trained": round(res_trained["mean_edge_iou"], 4),
         "mean_edge_iou_random": round(res_random["mean_edge_iou"], 4),
-        "words": WORDS,
+        **({"char_accuracy_holdout": round(res_holdout["char_accuracy"], 4),
+            "mean_edge_iou_holdout": round(res_holdout["mean_edge_iou"], 4),
+            "holdout_words": HOLDOUT_WORDS} if res_holdout is not None else {}),
+        "words": train_words,
         "wall_s": round(time.time() - t_start, 1),
         "device": jax.devices()[0].device_kind,
     }
