@@ -248,26 +248,42 @@ class FluxRepTextPipeline:
         tree = self.params.get("flux")
         return isinstance(tree, dict) and self._FP8_SHAPES in tree
 
-    def _stage_core_params(self) -> None:
+    def _stage_core_params(self, drop_text_encoders: bool = True) -> None:
         """Sequential residency swap: prompts are encoded — DROP the text
         encoders from HBM (random weights are regenerable; converted
         checkpoints reload from disk), then synthesize the deferred fp8
-        flux/CN trees directly on the device."""
+        flux/CN trees directly on the device.
+
+        ``drop_text_encoders=False`` (serving with reduced-size encoders
+        that DO fit alongside the fp8 core): keep them resident and only
+        synthesize the core — call this explicitly before the first
+        request so the swap never runs mid-request."""
         if not self._core_params_deferred():
             return
         import gc
 
         from reptext_tpu.io.quantize import random_params_like
 
-        for k in ("clip", "t5"):
-            if self.params.get(k) is not None:
-                self.params[k] = None
-        self._text_encoders_dropped = True
+        if drop_text_encoders:
+            for k in ("clip", "t5"):
+                if self.params.get(k) is not None:
+                    self.params[k] = None
+            self._text_encoders_dropped = True
         gc.collect()
+        self._fp8_core_specs = {}
         for name in ("flux", "controlnet"):
             spec = self.params[name]
+            # keep the spec: donated sampler calls consume the buffers, and
+            # the next call re-synthesizes from it (seconds of device RNG)
+            self._fp8_core_specs[name] = spec
             self.params[name] = {"params": random_params_like(
                 spec[self._FP8_SHAPES], seed=spec["seed"])}
+
+    def _redefer_core_params(self) -> None:
+        """After a donated sampler call the core buffers are consumed;
+        restore the deferred-synthesis sentinels for the next call."""
+        for name, spec in getattr(self, "_fp8_core_specs", {}).items():
+            self.params[name] = spec
 
     # ----------------------------------------------------------- resolutions
 
@@ -675,12 +691,19 @@ class FluxRepTextPipeline:
         r_lat, r_cond, r_glyph = jax.random.split(rng, 3)
         cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
         # sequential residency: prompts + conds are encoded; swap the text
-        # encoders out of HBM for the (host-synthesized) core model
+        # encoders out of HBM for the deferred-synthesized core model
         self._stage_core_params()
+        # donate the core buffers when this is a single fused sampler call
+        # in residency mode (chunked/callback paths re-enter the sampler, so
+        # the buffers must survive there)
+        donate_core = (getattr(self, "_text_encoders_dropped", False)
+                       and callback is None
+                       and not (init_image is not None and strength < 1.0))
 
-        sampler = self._get_sampler(steps, custom_schedule)
-        schedule = self._schedules[
-            steps if custom_schedule is None else (steps,) + custom_schedule]
+        sampler = self._get_sampler(steps, custom_schedule,
+                                    donate_core=donate_core)
+        skey = steps if custom_schedule is None else (steps,) + custom_schedule
+        schedule = self._schedules[("donated", skey) if donate_core else skey]
 
         if latents is not None:
             expect = (num_images, cfg.image_seq_len,
@@ -754,6 +777,9 @@ class FluxRepTextPipeline:
             if t_start == 0:
                 latents = sampler(*margs, latents, *sargs,
                                   flux_extra=flux_extra)
+                if donate_core:
+                    # buffers consumed by donation: next call re-synthesizes
+                    self._redefer_core_params()
             else:
                 latents = self._get_chunk_sampler(
                     steps, remaining, custom_schedule)(
@@ -909,12 +935,21 @@ class FluxRepTextPipeline:
     def _t5_apply(self):
         return jax.jit(lambda p, ids: self.t5.apply(p, ids))
 
-    def _get_sampler(self, steps: int, custom_schedule=None):
+    def _get_sampler(self, steps: int, custom_schedule=None,
+                     donate_core: bool = False):
         """custom_schedule: None, or ("timesteps"|"sigmas", tuple-of-floats) —
         a caller schedule override (reference retrieve_timesteps,
         RepText/pipeline_flux_controlnet.py:91-160,758); becomes part of the
-        compiled-sampler cache key."""
+        compiled-sampler cache key.
+
+        ``donate_core``: donate the flux/CN param buffers to the program —
+        at the full-depth fp8 single-chip operating point XLA's entry
+        relayout copies of the ~15GB weight set need the freed input space
+        (measured OOM without donation); the sequential-residency caller
+        re-synthesizes the params afterwards."""
         key = steps if custom_schedule is None else (steps,) + custom_schedule
+        if donate_core:
+            key = ("donated", key)
         if not hasattr(self, "_samplers"):
             self._samplers = {}
             self._raw_samplers = {}
@@ -982,7 +1017,9 @@ class FluxRepTextPipeline:
                     flux_apply, cn_apply, schedule, cfg, self.compute_dtype
                 )
             self._raw_samplers[key] = sample
-            self._samplers[key] = jax.jit(sample)
+            self._samplers[key] = (
+                jax.jit(sample, donate_argnums=(0, 1)) if donate_core
+                else jax.jit(sample))
         return self._samplers[key]
 
     def _get_chunk_sampler(self, steps: int, chunk_len: int, custom_schedule=None):
