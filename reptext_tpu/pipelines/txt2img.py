@@ -270,20 +270,10 @@ class FluxRepTextPipeline:
                     self.params[k] = None
             self._text_encoders_dropped = True
         gc.collect()
-        self._fp8_core_specs = {}
         for name in ("flux", "controlnet"):
             spec = self.params[name]
-            # keep the spec: donated sampler calls consume the buffers, and
-            # the next call re-synthesizes from it (seconds of device RNG)
-            self._fp8_core_specs[name] = spec
             self.params[name] = {"params": random_params_like(
                 spec[self._FP8_SHAPES], seed=spec["seed"])}
-
-    def _redefer_core_params(self) -> None:
-        """After a donated sampler call the core buffers are consumed;
-        restore the deferred-synthesis sentinels for the next call."""
-        for name, spec in getattr(self, "_fp8_core_specs", {}).items():
-            self.params[name] = spec
 
     # ----------------------------------------------------------- resolutions
 
@@ -693,17 +683,16 @@ class FluxRepTextPipeline:
         # sequential residency: prompts + conds are encoded; swap the text
         # encoders out of HBM for the deferred-synthesized core model
         self._stage_core_params()
-        # donate the core buffers when this is a single fused sampler call
-        # in residency mode (chunked/callback paths re-enter the sampler, so
-        # the buffers must survive there)
-        donate_core = (getattr(self, "_text_encoders_dropped", False)
-                       and callback is None
-                       and not (init_image is not None and strength < 1.0))
+        # layout-matched compiled path for the full-geometry residency mode
+        # (the plain jit OOMs on loop-hoisted weight relayout temps there)
+        layout_matched = (getattr(self, "_text_encoders_dropped", False)
+                          and callback is None
+                          and not (init_image is not None and strength < 1.0))
 
         sampler = self._get_sampler(steps, custom_schedule,
-                                    donate_core=donate_core)
+                                    layout_matched=layout_matched)
         skey = steps if custom_schedule is None else (steps,) + custom_schedule
-        schedule = self._schedules[("donated", skey) if donate_core else skey]
+        schedule = self._schedules[("layoutm", skey) if layout_matched else skey]
 
         if latents is not None:
             expect = (num_images, cfg.image_seq_len,
@@ -777,9 +766,6 @@ class FluxRepTextPipeline:
             if t_start == 0:
                 latents = sampler(*margs, latents, *sargs,
                                   flux_extra=flux_extra)
-                if donate_core:
-                    # buffers consumed by donation: next call re-synthesizes
-                    self._redefer_core_params()
             else:
                 latents = self._get_chunk_sampler(
                     steps, remaining, custom_schedule)(
@@ -936,20 +922,20 @@ class FluxRepTextPipeline:
         return jax.jit(lambda p, ids: self.t5.apply(p, ids))
 
     def _get_sampler(self, steps: int, custom_schedule=None,
-                     donate_core: bool = False):
+                     layout_matched: bool = False):
         """custom_schedule: None, or ("timesteps"|"sigmas", tuple-of-floats) —
         a caller schedule override (reference retrieve_timesteps,
         RepText/pipeline_flux_controlnet.py:91-160,758); becomes part of the
         compiled-sampler cache key.
 
-        ``donate_core``: donate the flux/CN param buffers to the program —
-        at the full-depth fp8 single-chip operating point XLA's entry
-        relayout copies of the ~15GB weight set need the freed input space
-        (measured OOM without donation); the sequential-residency caller
-        re-synthesizes the params afterwards."""
+        ``layout_matched``: compile with AUTO input layouts and relayout the
+        args to match (see _make_layout_matched_sampler) — the full-depth
+        fp8 single-chip program otherwise OOMs on loop-hoisted weight
+        relayout copies (measured +2.8GB of HLO temps; donation doesn't
+        help — the AOT compiler reports 'shares 0B with arguments')."""
         key = steps if custom_schedule is None else (steps,) + custom_schedule
-        if donate_core:
-            key = ("donated", key)
+        if layout_matched:
+            key = ("layoutm", key)
         if not hasattr(self, "_samplers"):
             self._samplers = {}
             self._raw_samplers = {}
@@ -1018,9 +1004,44 @@ class FluxRepTextPipeline:
                 )
             self._raw_samplers[key] = sample
             self._samplers[key] = (
-                jax.jit(sample, donate_argnums=(0, 1)) if donate_core
+                self._make_layout_matched_sampler(sample) if layout_matched
                 else jax.jit(sample))
         return self._samplers[key]
+
+    @staticmethod
+    def _make_layout_matched_sampler(raw_sample):
+        """Compile with AUTO input layouts, then eagerly relayout the
+        arguments to the compiler's choice and call the compiled object.
+
+        Rationale (full-depth fp8 single-chip operating point): with default
+        arg layouts XLA hoists a relayout copy of every q8 kernel out of the
+        step loop — ~2.8GB of HLO temps on top of the 13.95GB weight set ⇒
+        'Used 17.67G of 15.75G hbm'. Matching the input layouts up front
+        removes every copy; the eager per-leaf device_put relayout peaks at
+        one tensor (≤342MB). Same-layout device_put is a no-op, so repeat
+        calls cost nothing."""
+        from jax.experimental import layout as jlayout
+
+        state: Dict[str, Any] = {}
+
+        def call(*args, flux_extra=None):
+            if "comp" not in state:
+                shapes = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
+                jf = jax.jit(raw_sample,
+                             in_shardings=jlayout.Format(jlayout.Layout.AUTO))
+                state["comp"] = jf.lower(
+                    *shapes, flux_extra=flux_extra).compile()
+                state["fmts"] = state["comp"].input_formats[0]
+            args = tuple(
+                jax.tree_util.tree_map(
+                    lambda a, f: jax.device_put(a, f), arg, fmt)
+                if arg is not None else None
+                for arg, fmt in zip(args, state["fmts"])
+            )
+            return state["comp"](*args, flux_extra=flux_extra)
+
+        return call
 
     def _get_chunk_sampler(self, steps: int, chunk_len: int, custom_schedule=None):
         """Jitted fixed-length chunk of the denoise loop (traced start_step)."""
