@@ -270,6 +270,12 @@ class FluxRepTextPipeline:
                     self.params[k] = None
             self._text_encoders_dropped = True
         gc.collect()
+        if getattr(self, "_text_encoders_dropped", False):
+            # layout-matched path: leave the sentinels — the sampler wrapper
+            # synthesizes DIRECTLY into the compiler-chosen layouts
+            # (out_shardings), since a post-hoc relayout of the ~14GB tree
+            # needs transient double-residency that measured OOM
+            return
         for name in ("flux", "controlnet"):
             spec = self.params[name]
             self.params[name] = {"params": random_params_like(
@@ -1008,38 +1014,66 @@ class FluxRepTextPipeline:
                 else jax.jit(sample))
         return self._samplers[key]
 
-    @staticmethod
-    def _make_layout_matched_sampler(raw_sample):
-        """Compile with AUTO input layouts, then eagerly relayout the
-        arguments to the compiler's choice and call the compiled object.
+    def _make_layout_matched_sampler(self, raw_sample):
+        """Compile with AUTO input layouts and synthesize the core params
+        DIRECTLY into the compiler-chosen layouts (out_shardings on the
+        synthesis jit), then call the compiled object.
 
         Rationale (full-depth fp8 single-chip operating point): with default
         arg layouts XLA hoists a relayout copy of every q8 kernel out of the
         step loop — ~2.8GB of HLO temps on top of the 13.95GB weight set ⇒
-        'Used 17.67G of 15.75G hbm'. Matching the input layouts up front
-        removes every copy; the eager per-leaf device_put relayout peaks at
-        one tensor (≤342MB). Same-layout device_put is a no-op, so repeat
-        calls cost nothing."""
+        'Used 17.67G of 15.75G hbm'. A post-hoc relayout of the tree also
+        OOMs (transient double residency), so the weights must be BORN in
+        the right layout: the deferred-synthesis sentinels
+        (fp8_random_init) carry only shapes until the sampler's layouts are
+        known."""
         from jax.experimental import layout as jlayout
 
+        from reptext_tpu.io.quantize import random_params_like
+
         state: Dict[str, Any] = {}
+        K = self._FP8_SHAPES
+
+        def _synth_shape(spec):
+            return jax.eval_shape(lambda: {"params": random_params_like(
+                spec[K], seed=spec["seed"])})
 
         def call(*args, flux_extra=None):
+            deferred = isinstance(args[0], dict) and K in args[0]
             if "comp" not in state:
-                shapes = jax.tree_util.tree_map(
-                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
+                if deferred:
+                    shapes01 = [_synth_shape(args[0]), _synth_shape(args[1])]
+                else:
+                    shapes01 = [jax.tree_util.tree_map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+                        for t in args[:2]]
+                rest = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args[2:])
                 jf = jax.jit(raw_sample,
                              in_shardings=jlayout.Format(jlayout.Layout.AUTO))
                 state["comp"] = jf.lower(
-                    *shapes, flux_extra=flux_extra).compile()
+                    *shapes01, *rest, flux_extra=flux_extra).compile()
                 state["fmts"] = state["comp"].input_formats[0]
-            args = tuple(
-                jax.tree_util.tree_map(
-                    lambda a, f: jax.device_put(a, f), arg, fmt)
-                if arg is not None else None
-                for arg, fmt in zip(args, state["fmts"])
-            )
-            return state["comp"](*args, flux_extra=flux_extra)
+            fmts = state["fmts"]
+            if deferred:
+                core = []
+                for i, name in enumerate(("flux", "controlnet")):
+                    spec = args[i]
+                    synth = jax.jit(
+                        lambda sd, sp=spec: {"params": random_params_like(
+                            sp[K], seed=sd)},
+                        out_shardings=fmts[i],
+                    )
+                    core.append(jax.block_until_ready(synth(spec["seed"])))
+                    # persist: subsequent calls skip synthesis entirely
+                    self.params[name] = core[i]
+                args = tuple(core) + args[2:]
+            out_args = list(args[:2])
+            for arg, fmt in zip(args[2:], fmts[2:]):
+                out_args.append(
+                    None if arg is None else jax.tree_util.tree_map(
+                        lambda a, f: jax.device_put(a, f), arg, fmt))
+            return state["comp"](*out_args, flux_extra=flux_extra)
 
         return call
 
