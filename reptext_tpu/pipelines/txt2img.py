@@ -690,8 +690,12 @@ class FluxRepTextPipeline:
         # encoders out of HBM for the deferred-synthesized core model
         self._stage_core_params()
         # layout-matched compiled path for the full-geometry residency mode
-        # (the plain jit OOMs on loop-hoisted weight relayout temps there)
-        layout_matched = (getattr(self, "_text_encoders_dropped", False)
+        # (the plain jit OOMs on loop-hoisted weight relayout temps there);
+        # _force_layout_matched: serving at the deployable fp8 config keeps
+        # its (reduced) text encoders resident but still needs the copy-free
+        # program
+        layout_matched = ((getattr(self, "_text_encoders_dropped", False)
+                           or getattr(self, "_force_layout_matched", False))
                           and callback is None
                           and not (init_image is not None and strength < 1.0))
 
@@ -844,7 +848,9 @@ class FluxRepTextPipeline:
         latents = jnp.concatenate(lat_l, axis=0)  # [B, S, C]
 
         b = latents.shape[0]
-        sampler = self._get_sampler(steps)
+        sampler = self._get_sampler(
+            steps,
+            layout_matched=getattr(self, "_force_layout_matched", False))
         img_ids = prepare_latent_image_ids(cfg.latent_height, cfg.latent_width)
         txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))
         guidance = (
