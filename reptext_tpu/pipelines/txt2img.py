@@ -1044,6 +1044,24 @@ class FluxRepTextPipeline:
             return jax.eval_shape(lambda: {"params": random_params_like(
                 spec[K], seed=spec["seed"])})
 
+        dev = jax.devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(dev)
+        transposed = jlayout.Format(
+            jlayout.Layout(major_to_minor=(0, 2, 1),
+                           tiling=((8, 128), (4, 1))), sharding)
+
+        def _leaf_spec(sds):
+            """Explicit layout for the stacked square q8 kernels (the
+            compiler wants them transposed and — under the remote AOT
+            helper — input_formats misreports that choice, so AUTO alone
+            lands the synthesized weights in the wrong layout); AUTO for
+            everything else."""
+            if (dev.platform == "tpu"
+                    and sds.dtype == jnp.float8_e4m3fn and len(sds.shape) == 3
+                    and sds.shape[1] == sds.shape[2]):
+                return transposed
+            return jlayout.Format(jlayout.Layout.AUTO)
+
         def call(*args, flux_extra=None):
             deferred = isinstance(args[0], dict) and K in args[0]
             if "comp" not in state:
@@ -1055,10 +1073,18 @@ class FluxRepTextPipeline:
                         for t in args[:2]]
                 rest = jax.tree_util.tree_map(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args[2:])
-                jf = jax.jit(raw_sample,
-                             in_shardings=jlayout.Format(jlayout.Layout.AUTO))
+                extra_shapes = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                    flux_extra)
+                in_specs = tuple(
+                    jax.tree_util.tree_map(_leaf_spec, t)
+                    for t in (*shapes01, *rest, extra_shapes))
+                # pjit rejects kwargs alongside in_shardings: positionalize
+                jf = jax.jit(
+                    lambda *a: raw_sample(*a[:-1], flux_extra=a[-1]),
+                    in_shardings=in_specs)
                 state["comp"] = jf.lower(
-                    *shapes01, *rest, flux_extra=flux_extra).compile()
+                    *shapes01, *rest, extra_shapes).compile()
                 state["fmts"] = state["comp"].input_formats[0]
             fmts = state["fmts"]
             if deferred:
@@ -1075,11 +1101,11 @@ class FluxRepTextPipeline:
                     self.params[name] = core[i]
                 args = tuple(core) + args[2:]
             out_args = list(args[:2])
-            for arg, fmt in zip(args[2:], fmts[2:]):
+            for arg, fmt in zip(args[2:], fmts[2:len(args)]):
                 out_args.append(
                     None if arg is None else jax.tree_util.tree_map(
                         lambda a, f: jax.device_put(a, f), arg, fmt))
-            return state["comp"](*out_args, flux_extra=flux_extra)
+            return state["comp"](*out_args, flux_extra)
 
         return call
 
