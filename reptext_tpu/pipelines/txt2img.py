@@ -794,6 +794,16 @@ class FluxRepTextPipeline:
 
         if output_type == "latent":
             return FluxPipelineOutput(images=latents) if return_dict else latents
+        if layout_matched and getattr(self, "_text_encoders_dropped", False):
+            # final stage of the offload chain ("...->transformer->vae",
+            # reference model_cpu_offload_seq): the ~14GB core leaves HBM so
+            # the VAE decoder's 1024^2 activations fit; the kept shape specs
+            # re-synthesize it on the next sampling call
+            import gc as _gc
+
+            for name, spec in getattr(self, "_fp8_core_specs", {}).items():
+                self.params[name] = spec
+            _gc.collect()
         images = postprocess_images(self._decode(latents))
         if output_type == "pil":
             images = to_pil_images(images)
@@ -1097,7 +1107,10 @@ class FluxRepTextPipeline:
                         out_shardings=fmts[i],
                     )
                     core.append(jax.block_until_ready(synth(spec["seed"])))
-                    # persist: subsequent calls skip synthesis entirely
+                    # persist + keep the spec (the decode stage of the
+                    # offload chain re-defers the core, see __call__)
+                    self._fp8_core_specs = getattr(self, "_fp8_core_specs", {})
+                    self._fp8_core_specs[name] = spec
                     self.params[name] = core[i]
                 args = tuple(core) + args[2:]
             out_args = list(args[:2])

@@ -249,12 +249,9 @@ def test_fp8_random_init_sequential_residency():
     t5_ids = jnp.asarray([[5, 9, 1, 0, 0, 0]], jnp.int32)
     img = pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=5)
     assert img.shape == (1, H, W, 3) and np.isfinite(img.astype(np.float64)).all()
-    # staged via the layout-matched compiled path: core trees are real
-    # storage-format params now and persist across calls
-    assert not pipe._core_params_deferred()
-    from reptext_tpu.io.quantize import is_quantized
-
-    assert is_quantized(pipe.params["flux"])
+    # full offload chain ran: the core re-deferred before VAE decode
+    # ("...->transformer->vae"); the next sampling call re-synthesizes
+    assert pipe._core_params_deferred()
     # encoders were evicted; a second prompt must fail loudly...
     with pytest.raises(ValueError, match="sequential residency"):
         pipe(conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=6)
