@@ -1096,6 +1096,20 @@ class FluxRepTextPipeline:
                 state["comp"] = jf.lower(
                     *shapes01, *rest, extra_shapes).compile()
                 state["fmts"] = state["comp"].input_formats[0]
+
+                def _merge(sds, reported):
+                    # input_formats misreports the PINNED transposed leaves
+                    # (remote AOT quirk): trust our explicit spec there,
+                    # the reported format elsewhere
+                    spec = _leaf_spec(sds)
+                    is_auto = getattr(spec.layout, "major_to_minor", None) is None
+                    return reported if is_auto else spec
+
+                state["synth_fmts"] = [
+                    jax.tree_util.tree_map(_merge, shapes01[i],
+                                           state["fmts"][i])
+                    for i in range(2)
+                ]
             fmts = state["fmts"]
             if deferred:
                 core = []
@@ -1104,7 +1118,7 @@ class FluxRepTextPipeline:
                     synth = jax.jit(
                         lambda sd, sp=spec: {"params": random_params_like(
                             sp[K], seed=sd)},
-                        out_shardings=fmts[i],
+                        out_shardings=state["synth_fmts"][i],
                     )
                     core.append(jax.block_until_ready(synth(spec["seed"])))
                     # persist + keep the spec (the decode stage of the
