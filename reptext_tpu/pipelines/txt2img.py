@@ -269,6 +269,11 @@ class FluxRepTextPipeline:
                 if self.params.get(k) is not None:
                     self.params[k] = None
             self._text_encoders_dropped = True
+            if self.params.get("vae") is not None:
+                # VAE params ride out the sampling stage on the host (the
+                # decode jit re-uploads its ~160MB automatically — numpy
+                # args); every fraction of HBM matters at full geometry
+                self.params["vae"] = jax.device_get(self.params["vae"])
         gc.collect()
         if getattr(self, "_text_encoders_dropped", False):
             # layout-matched path: leave the sentinels — the sampler wrapper
@@ -686,15 +691,13 @@ class FluxRepTextPipeline:
         rng = jax.random.PRNGKey(seed)
         r_lat, r_cond, r_glyph = jax.random.split(rng, 3)
         cond_tokens, token_masks = self.prepare_control_tokens(conditions, r_cond)
-        # sequential residency: prompts + conds are encoded; swap the text
-        # encoders out of HBM for the deferred-synthesized core model
-        self._stage_core_params()
         # layout-matched compiled path for the full-geometry residency mode
         # (the plain jit OOMs on loop-hoisted weight relayout temps there);
         # _force_layout_matched: serving at the deployable fp8 config keeps
         # its (reduced) text encoders resident but still needs the copy-free
         # program
-        layout_matched = ((getattr(self, "_text_encoders_dropped", False)
+        layout_matched = ((self._core_params_deferred()
+                           or getattr(self, "_text_encoders_dropped", False)
                            or getattr(self, "_force_layout_matched", False))
                           and callback is None
                           and not (init_image is not None and strength < 1.0))
@@ -772,6 +775,11 @@ class FluxRepTextPipeline:
             }
 
         remaining = steps - t_start
+        # sequential residency swap happens LAST, after every VAE use of
+        # this stage (cond encodes + glyph-latent init): encoders AND the
+        # VAE leave HBM so the ~14GB core + program temps fit (the margin
+        # is a few hundred MB at full geometry)
+        self._stage_core_params()
         if callback is None:
             if t_start == 0:
                 latents = sampler(*margs, latents, *sargs,
@@ -798,11 +806,16 @@ class FluxRepTextPipeline:
             # final stage of the offload chain ("...->transformer->vae",
             # reference model_cpu_offload_seq): the ~14GB core leaves HBM so
             # the VAE decoder's 1024^2 activations fit; the kept shape specs
-            # re-synthesize it on the next sampling call
+            # re-synthesize it on the next sampling call. The local arg
+            # tuples still pin the buffers — drop them too.
             import gc as _gc
 
+            # async dispatch would let the decode allocate while the sampler
+            # still owns its buffers — synchronize first
+            latents = jax.block_until_ready(latents)
             for name, spec in getattr(self, "_fp8_core_specs", {}).items():
                 self.params[name] = spec
+            margs = sargs = sampler = None  # noqa: F841 — release buffer refs
             _gc.collect()
         images = postprocess_images(self._decode(latents))
         if output_type == "pil":
@@ -1043,6 +1056,8 @@ class FluxRepTextPipeline:
         the right layout: the deferred-synthesis sentinels
         (fp8_random_init) carry only shapes until the sampler's layouts are
         known."""
+        import os as _os
+
         from jax.experimental import layout as jlayout
 
         from reptext_tpu.io.quantize import random_params_like
@@ -1121,6 +1136,19 @@ class FluxRepTextPipeline:
                         out_shardings=state["synth_fmts"][i],
                     )
                     core.append(jax.block_until_ready(synth(spec["seed"])))
+                    if _os.environ.get("REPTEXT_LAYOUT_DEBUG"):
+                        import sys as _sys
+                        for kp, lf in jax.tree_util.tree_flatten_with_path(
+                                core[i])[0][:40]:
+                            want = jax.tree_util.tree_leaves(
+                                state["synth_fmts"][i],
+                                is_leaf=lambda x: isinstance(
+                                    x, jlayout.Format))
+                            print("LDBG", name,
+                                  jax.tree_util.keystr(kp),
+                                  getattr(lf.format.layout, "major_to_minor",
+                                          None),
+                                  file=_sys.stderr)
                     # persist + keep the spec (the decode stage of the
                     # offload chain re-defers the core, see __call__)
                     self._fp8_core_specs = getattr(self, "_fp8_core_specs", {})
