@@ -154,8 +154,8 @@ class GlyphTextDataset:
             bbox = glyph_ink_bbox(conds.glyph_canvas)
             ocr_boxes[i] = (aspect_box(bbox, cfg.height, cfg.width)
                             if bbox else np.asarray([0, 0, 1, 1], np.float32))
-            ids = [CHAR_TO_ID[c] for c in spec["text"].upper()
-                   if c in CHAR_TO_ID][:MAX_LABEL]
+            ids = [CHAR_TO_ID[c] for c in spec["text"]
+                   if c in CHAR_TO_ID][:MAX_LABEL]  # case-sensitive (judge v2)
             ocr_labels[i, : len(ids)] = ids
             ocr_paddings[i, : len(ids)] = 0.0
 

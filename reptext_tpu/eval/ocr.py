@@ -11,8 +11,17 @@ closes that gap with a from-scratch recognizer:
   bidi + PIL render — the same path that builds the pipeline's glyph
   conditions, so the judge reads exactly the script forms the pipeline is
   asked to draw);
-- charset: Arabic letters + Latin capitals + digits (the data.py word pools
-  and the reference demo strings are covered);
+- charset (v2): Arabic letters + Latin capitals + Latin LOWERCASE (distinct
+  classes; labels are case-sensitive) + digits — the data.py word pools and
+  the reference demo's mixed-case English strings are covered. The
+  reference's CJK demo strings (RepText/infer.py:44,56 via contains_chinese
+  :11-14) are NOT coverable in this environment: the only installed fonts
+  are DejaVu (no CJK glyphs — every han character renders as the same
+  .notdef tofu box, verified), so neither the conditioning frontend nor a
+  judge trained on its renders can represent han glyph shapes. The charset
+  is embedded in the frozen weights file; with a CJK-capable TTF present,
+  extend CHARSET and retrain (benchmarks/train_ocr_judge.py) — no code
+  changes needed;
 - architecture: 4-conv column encoder -> per-column logits -> CTC
   (optax.ctc_loss), greedy decode;
 - heavy train-time augmentation (polarity, background level, noise, blur,
@@ -39,28 +48,38 @@ import numpy as np
 # Class 0 is the CTC blank; class i+1 maps to CHARSET[i].
 ARABIC = "ءآأؤإئابةتثجحخدذرزسشصضطظعغفقكلمنهوىي"
 LATIN = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+LATIN_LOWER = "abcdefghijklmnopqrstuvwxyz"
 DIGITS = "0123456789"
-CHARSET = ARABIC + LATIN + DIGITS
+CHARSET = ARABIC + LATIN + LATIN_LOWER + DIGITS
 CHAR_TO_ID = {c: i + 1 for i, c in enumerate(CHARSET)}
 
-IMG_H, IMG_W = 32, 128   # judge input geometry
-FRAMES = 32              # output time steps (IMG_W / 4)
-MAX_LABEL = 12
+IMG_H, IMG_W = 48, 256   # judge input geometry (v2: wider for long lines,
+                         # taller so Arabic dot clusters survive the resize —
+                         # at 32px height the i'jam dots blur together under
+                         # augmentation (measured: arabic augmented 0.92)
+FRAMES = 64              # output time steps (IMG_W / 4)
+MAX_LABEL = 24
 
 
 class OCRJudge(nn.Module):
-    """Column-wise conv encoder -> per-frame class logits (CTC head)."""
+    """Column-wise conv encoder -> per-frame class logits (CTC head).
+
+    v2: wider features + a 1D frame-context conv (±2 columns) between the
+    column pool and the head — pure column features confuse visually similar
+    glyphs under blur/noise augmentation (measured: per-script augmented
+    accuracy 0.80-0.92 without context, gate is >=0.95)."""
 
     num_classes: int = len(CHARSET) + 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [B, 32, 128, 1] -> logits [B, 32, K]
-        for feat, stride in ((32, (2, 2)), (64, (2, 2)), (96, (2, 1)), (128, (2, 1))):
+        # x: [B, 48, 256, 1] -> logits [B, 64, K]
+        for feat, stride in ((48, (2, 2)), (96, (2, 2)), (128, (2, 1)), (192, (2, 1))):
             x = nn.Conv(feat, (3, 3), strides=stride)(x)
             x = nn.relu(x)
-        x = x.mean(axis=1)                      # [B, W/4, 128]
-        x = nn.relu(nn.Dense(128)(x))
+        x = x.mean(axis=1)                      # [B, W/4, 192]
+        x = nn.relu(nn.Conv(192, (5,), padding="SAME")(x))
+        x = nn.relu(nn.Dense(160)(x))
         return nn.Dense(self.num_classes)(x)
 
 
@@ -91,7 +110,7 @@ def render_word(
 
     display = prepare_display_text(text)
     font = _font(font_size, font_path)
-    canvas_w, canvas_h = 8 * font_size, 3 * font_size
+    canvas_w, canvas_h = 20 * font_size, 3 * font_size
     img = Image.new("L", (canvas_w, canvas_h), 0)
     draw = ImageDraw.Draw(img)
     pos = (font_size // 2, font_size // 2)
@@ -106,8 +125,8 @@ def render_word(
 
 
 def _resize_box(g: np.ndarray) -> np.ndarray:
-    """Aspect-preserving resize of a [h, w] grayscale image into the 32x128
-    box (left-aligned, zero-padded), values scaled to [0, 1]."""
+    """Aspect-preserving resize of a [h, w] grayscale image into the
+    IMG_H x IMG_W box (left-aligned, bg-padded), values scaled to [0, 1]."""
     from PIL import Image
 
     h, w = g.shape
@@ -174,7 +193,7 @@ def _canonicalize(g: np.ndarray, pad_frac: float = 0.18) -> np.ndarray:
 
 
 def prepare_crop(region: np.ndarray) -> np.ndarray:
-    """Normalize an arbitrary image crop to judge input [32, 128, 1].
+    """Normalize an arbitrary image crop to judge input [IMG_H, IMG_W, 1].
 
     Grayscale -> tightness canonicalization (:func:`_canonicalize`) ->
     aspect-preserving resize into the 32x128 box (left-aligned) ->
@@ -207,25 +226,30 @@ def _augment(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def random_word(rng: np.random.Generator) -> str:
-    """Uniformly drawn script + length; covers the full charset."""
-    script = rng.choice(["ar", "lat", "dig", "mix"], p=[0.45, 0.35, 0.1, 0.1])
-    n = int(rng.integers(2, 8))
+    """Uniformly drawn script + length; covers the full charset (v2: labels
+    are case-SENSITIVE — lowercase letters are their own classes), with
+    occasional two-word phrases so the judge learns to read across word
+    gaps on realistic sign lines."""
+    script = rng.choice(["ar", "lat", "low", "dig", "mix"],
+                        p=[0.33, 0.17, 0.17, 0.2, 0.13])
+    n = int(rng.integers(2, 10))
     if script == "ar":
         pool = ARABIC
     elif script == "lat":
         pool = LATIN
+    elif script == "low":
+        pool = LATIN_LOWER
     elif script == "dig":
         pool = DIGITS
     else:
-        pool = LATIN + DIGITS
+        pool = LATIN + LATIN_LOWER + DIGITS
     word = "".join(rng.choice(list(pool)) for _ in range(n))
-    # labels are case-folded (char_accuracy/make_batch .upper()); render
-    # mixed-case so lowercase glyph SHAPES are in-distribution ("Cafe",
-    # "Hello" must score, not just "CAFE")
-    if script in ("lat", "mix") and rng.random() < 0.5:
-        word = "".join(
-            c.lower() if rng.random() < 0.6 else c for c in word
-        )
+    if script in ("lat", "low") and rng.random() < 0.3:
+        word = word[:1].upper() + word[1:].lower()       # Titlecase shapes
+    if rng.random() < 0.2:                               # two-word phrase
+        second = "".join(
+            rng.choice(list(pool)) for _ in range(int(rng.integers(2, 7))))
+        word = f"{word} {second}"
     return word
 
 
@@ -278,9 +302,9 @@ def make_batch(
             img = _resize_box(_canonicalize(
                 render_word(text, font_size=size, font_path=font_path)))
         images[b] = _standardize(_augment(img, rng))[:, :, None]
-        # case-folded labels: the head has one class per UPPERCASE Latin
-        # letter; lowercase renders map to it (char_accuracy folds the same)
-        ids = [CHAR_TO_ID[c] for c in text.upper() if c in CHAR_TO_ID][:MAX_LABEL]
+        # case-SENSITIVE labels (v2); spaces and out-of-charset chars are
+        # dropped from the label (a phrase reads as its letters run together)
+        ids = [CHAR_TO_ID[c] for c in text if c in CHAR_TO_ID][:MAX_LABEL]
         labels[b, : len(ids)] = ids
         paddings[b, : len(ids)] = 0.0
         texts.append(text)
@@ -310,9 +334,11 @@ def train_judge(
     )
     tx = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
     opt_state = tx.init(params)
+    ema = params  # exponential moving average of params: the frozen weights
+    ema_decay = 0.999
 
     @jax.jit
-    def step_fn(params, opt_state, images, labels, paddings):
+    def step_fn(params, ema, opt_state, images, labels, paddings):
         def loss_fn(p):
             logits = model.apply(p, images)
             logit_pad = jnp.zeros(logits.shape[:2], jnp.float32)
@@ -321,19 +347,22 @@ def train_judge(
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, q: ema_decay * e + (1.0 - ema_decay) * q, ema, params)
+        return params, ema, opt_state, loss
 
     for i in range(steps):
         images, labels, paddings, _ = make_batch(
             rng, batch_size, font_path, cache=cache
         )
-        params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(images), jnp.asarray(labels),
+        params, ema, opt_state, loss = step_fn(
+            params, ema, opt_state, jnp.asarray(images), jnp.asarray(labels),
             jnp.asarray(paddings),
         )
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"ocr-judge step {i}: ctc_loss={float(loss):.4f}", flush=True)
-    return params
+    return ema
 
 
 # ----------------------------------------------------------------- inference
@@ -378,17 +407,31 @@ def char_accuracy(
 
     Both polarities of every crop are decoded and the better one scored —
     ink-vs-background polarity is a rendering choice, not a glyph error, and
-    standardized crops make inversion an exact negation."""
+    standardized crops make inversion an exact negation. Per polarity the
+    logits are averaged over {identity, +-1px vertical shift} (edge-padded)
+    — standard test-time ensembling that stabilizes the CTC head against
+    sub-pixel placement of the resized crop."""
     model = OCRJudge()
     apply_fn = apply_fn or model.apply
     crops = np.stack([prepare_crop(r) for r in regions])
-    both = np.concatenate([crops, -crops], axis=0)
+
+    def vshift(x, k):
+        idx = np.clip(np.arange(x.shape[1]) + k, 0, x.shape[1] - 1)
+        return x[:, idx]
+
+    variants = [crops, vshift(crops, 1), vshift(crops, -1)]
+    both = np.concatenate([v * sgn for sgn in (1.0, -1.0) for v in variants])
     logits = np.asarray(apply_fn(params, jnp.asarray(both)))
+    k = len(variants)
+    n_ = len(regions)
+    pos = logits[: k * n_].reshape(k, n_, *logits.shape[1:]).mean(axis=0)
+    neg = logits[k * n_:].reshape(k, n_, *logits.shape[1:]).mean(axis=0)
+    logits = np.concatenate([pos, neg], axis=0)
     decoded = decode_logits(logits)
     n = len(regions)
     accs = []
     for i, want in enumerate(texts):
-        want_ids = "".join(c for c in want.upper() if c in CHAR_TO_ID)
+        want_ids = "".join(c for c in want if c in CHAR_TO_ID)
         best = 0.0
         for got in (decoded[i], decoded[n + i]):
             d = _edit_distance(got, want_ids)
@@ -406,7 +449,12 @@ DEFAULT_WEIGHTS = os.path.join(
 
 
 def save_judge(params, path: str) -> None:
-    np.savez_compressed(path, **_flatten(params))
+    """Freeze params + the charset they were trained for (class i+1 =
+    charset[i]); load_judge refuses weights whose charset doesn't match the
+    running CHARSET instead of silently mis-decoding."""
+    flat = _flatten(params)
+    flat["__charset__"] = np.array([ord(c) for c in CHARSET], np.int32)
+    np.savez_compressed(path, **flat)
 
 
 def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
@@ -434,4 +482,15 @@ def load_judge(path: Optional[str] = None) -> Dict:
     """Load frozen judge weights (benchmarks/ocr_judge.npz by default)."""
     path = path or os.path.abspath(DEFAULT_WEIGHTS)
     with np.load(path) as z:
-        return _unflatten({k: z[k] for k in z.files})
+        flat = {k: z[k] for k in z.files}
+    stored = flat.pop("__charset__", None)
+    if stored is not None:
+        stored_charset = "".join(chr(int(c)) for c in stored)
+        if stored_charset != CHARSET:
+            raise ValueError(
+                f"judge weights at {path} were trained for a different "
+                f"charset ({len(stored_charset)} classes vs "
+                f"{len(CHARSET)} current); retrain with "
+                "benchmarks/train_ocr_judge.py"
+            )
+    return _unflatten(flat)

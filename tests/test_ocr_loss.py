@@ -164,10 +164,12 @@ def test_ctc_loss_sample_weights_zero_out():
 
 
 def test_aspect_box_is_judge_aspect():
+    from reptext_tpu.eval.ocr import IMG_H, IMG_W
+
     box = aspect_box((10, 20, 30, 100), 128, 256)
     y0, x0, y1, x1 = box
     bh, bw = (y1 - y0) * 128, (x1 - x0) * 256
-    np.testing.assert_allclose(bw / bh, 4.0, rtol=1e-5)
+    np.testing.assert_allclose(bw / bh, IMG_W / IMG_H, rtol=1e-5)
 
 
 def test_glyph_ink_bbox():
