@@ -112,20 +112,17 @@ def main(argv=None):
     print(json.dumps(report, indent=1))
     REPORT.write_text(json.dumps(report, indent=1))
     print(f"wrote {REPORT}")
-    # the judge is only a judge if it separates: hard gates
+    # the judge is only a judge if it separates: hard gates (VERDICT r4 #3:
+    # >=0.90 on ALL scripts augmented, noise floor <=0.03)
     assert report["char_accuracy_perfect"] > 0.9, report
-    assert report["char_accuracy_noise_floor"] < 0.1, report
-    # per-script >=0.95 on AUGMENTED renders (VERDICT r3 #5) is the target;
-    # the harsh tail of the augmentation (contrast 0.15 + blur 0.8 + noise
-    # 0.07 ~ SNR 2) keeps 1-2 scripts in the 0.90-0.95 band run-to-run at
-    # this judge capacity — report loudly, hard-fail only below 0.85
+    assert report["char_accuracy_noise_floor"] <= 0.03, report
     misses = {s_: a for s_, a in
               report["char_accuracy_by_script_augmented"].items() if a < 0.95}
     if misses:
-        print(f"GATE MISS (<0.95 augmented): {misses} — acceptable band "
-              ">=0.85; retrain with more capacity/steps to clear 0.95")
+        print(f"GATE MISS (<0.95 augmented): {misses} — hard floor is 0.90; "
+              "retrain with more capacity/steps to clear 0.95")
     for script, acc in report["char_accuracy_by_script_augmented"].items():
-        assert acc >= 0.85, (script, report)
+        assert acc >= 0.90, (script, report)
     return 0
 
 

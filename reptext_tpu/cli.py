@@ -164,6 +164,12 @@ def main(argv=None) -> int:
                              "transformer/ControlNet block stacks (half the "
                              "HBM: full FLUX.1-dev+RepText becomes single-"
                              "chip resident on 16GB; MXU math stays bf16)")
+    parser.add_argument("--vae-tiling", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="tiled VAE encode/decode (ops/vae_tiling.py): "
+                             "bounds VAE activation memory so the fp8 core "
+                             "stays HBM-resident across images. auto = on "
+                             "whenever fp8 weights are used at full geometry")
     parser.add_argument("--train-steps", type=int, default=100,
                         help="train: optimization steps")
     parser.add_argument("--batch-size", type=int, default=2,
@@ -402,6 +408,12 @@ def main(argv=None) -> int:
         # re-quantizes freshly-attached dense adapter kernels (if any) and
         # switches the models to weight_quant
         pipeline.quantize_weights()
+    if args.vae_tiling == "on" or (
+            args.vae_tiling == "auto" and not args.tiny
+            and (args.weight_dtype == "fp8" or pre_quantized)):
+        # the fp8 deployment point: tile-bounded VAE keeps the ~14GB core
+        # resident across images (no per-image re-synthesis/offload hop)
+        pipeline.enable_vae_tiling()
 
     mesh = None
     if args.shard and args.mode != "train":  # train shards inside _train

@@ -74,12 +74,17 @@ class OCRJudge(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: [B, 48, 256, 1] -> logits [B, 64, K]
-        for feat, stride in ((48, (2, 2)), (96, (2, 2)), (128, (2, 1)), (192, (2, 1))):
+        # v3 capacity bump (VERDICT r4 #3: latin_upper 0.82 under the harsh
+        # augmentation tail): wider features + a second context conv —
+        # confusable caps (O/Q/D/G, I/J/L) need more shape detail than the
+        # v2 192-wide column code carried
+        for feat, stride in ((64, (2, 2)), (128, (2, 2)), (160, (2, 1)), (224, (2, 1))):
             x = nn.Conv(feat, (3, 3), strides=stride)(x)
             x = nn.relu(x)
-        x = x.mean(axis=1)                      # [B, W/4, 192]
-        x = nn.relu(nn.Conv(192, (5,), padding="SAME")(x))
-        x = nn.relu(nn.Dense(160)(x))
+        x = x.mean(axis=1)                      # [B, W/4, 224]
+        x = nn.relu(nn.Conv(224, (5,), padding="SAME")(x))
+        x = nn.relu(nn.Conv(224, (3,), padding="SAME")(x))
+        x = nn.relu(nn.Dense(192)(x))
         return nn.Dense(self.num_classes)(x)
 
 
@@ -253,6 +258,23 @@ def random_word(rng: np.random.Generator) -> str:
     return word
 
 
+# visually confusable groups under blur/noise (VERDICT r4 #3): training
+# oversamples words drawn from these so the judge sees the hard pairs far
+# more often than uniform sampling provides
+CONFUSION_GROUPS = ["O0QDG", "Il1J", "B8", "S5s", "Z2z", "6Gb", "coCO",
+                    "uvUV", "xXkK", "pPqg"]
+
+
+def confusion_word(rng: np.random.Generator) -> str:
+    """A word built from one or two confusion groups (hard-pair practice)."""
+    groups = [CONFUSION_GROUPS[int(rng.integers(len(CONFUSION_GROUPS)))]]
+    if rng.random() < 0.4:
+        groups.append(CONFUSION_GROUPS[int(rng.integers(len(CONFUSION_GROUPS)))])
+    pool = "".join(groups)
+    n = int(rng.integers(3, 9))
+    return "".join(rng.choice(list(pool)) for _ in range(n))
+
+
 class RenderCache:
     """Pre-rendered (resized, un-augmented) word pool for fast train batches.
 
@@ -263,11 +285,17 @@ class RenderCache:
 
     def __init__(self, n_words: int, rng: np.random.Generator,
                  font_path: Optional[str] = None,
-                 words: Optional[Sequence[str]] = None):
+                 words: Optional[Sequence[str]] = None,
+                 confusion_frac: float = 0.15):
         self.images: List[np.ndarray] = []
         self.texts: List[str] = []
         for i in range(n_words):
-            text = (words[i % len(words)] if words else random_word(rng))
+            if words is not None:
+                text = words[i % len(words)]
+            elif rng.random() < confusion_frac:
+                text = confusion_word(rng)
+            else:
+                text = random_word(rng)
             size = int(rng.integers(24, 56))
             # same tightness canonicalization as eval-time prepare_crop, so
             # the judge never sees a tightness distribution it isn't scored on
@@ -327,7 +355,8 @@ def train_judge(
     import optax
 
     rng = np.random.default_rng(seed)
-    cache = RenderCache(6144, rng, font_path, words=words)
+    cache = RenderCache(6144 if words is not None else 12288, rng, font_path,
+                        words=words)
     model = OCRJudge()
     params = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, IMG_H, IMG_W, 1))

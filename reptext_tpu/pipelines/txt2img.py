@@ -89,6 +89,11 @@ class FluxRepTextPipeline:
     # IP-Adapter image encoder (attach_ip_adapter) — a field for the same
     # reason: image-prompt requests must work on resolution views
     ip_encoder: Any = None
+    # tiled VAE (ops/vae_tiling.py): (tile_latent, overlap_latent) or None.
+    # A FIELD so resolution views inherit it: serving buckets at any size
+    # keep the bounded-activation decode that lets the fp8 core stay
+    # resident (see enable_vae_tiling)
+    vae_tiling: Any = None
 
     # ---------------------------------------------------------------- build
 
@@ -248,6 +253,25 @@ class FluxRepTextPipeline:
         tree = self.params.get("flux")
         return isinstance(tree, dict) and self._FP8_SHAPES in tree
 
+    # ------------------------------------------------------------ vae tiling
+
+    def enable_vae_tiling(self, tile_latent: int = 64,
+                          overlap_latent: int = 16) -> "FluxRepTextPipeline":
+        """Run VAE encode/decode in overlapping tiles (ops/vae_tiling.py).
+
+        Caps VAE activation memory at the tile size so the full-geometry fp8
+        core can stay HBM-resident across images — this removes the round-4
+        offload chain's per-image core eviction + re-synthesis (52 s/image,
+        benchmarks/e2e_cli.json). `tile_latent`/`overlap_latent` are in
+        latent units (x8 in pixels); inputs no larger than a tile take the
+        untiled path unchanged. In place; returns self.
+        """
+        if overlap_latent >= tile_latent:
+            raise ValueError(
+                f"overlap ({overlap_latent}) must be < tile ({tile_latent})")
+        self.vae_tiling = (int(tile_latent), int(overlap_latent))
+        return self
+
     def _stage_core_params(self, drop_text_encoders: bool = True) -> None:
         """Sequential residency swap: prompts are encoded — DROP the text
         encoders from HBM (random weights are regenerable; converted
@@ -269,10 +293,12 @@ class FluxRepTextPipeline:
                 if self.params.get(k) is not None:
                     self.params[k] = None
             self._text_encoders_dropped = True
-            if self.params.get("vae") is not None:
-                # VAE params ride out the sampling stage on the host (the
-                # decode jit re-uploads its ~160MB automatically — numpy
-                # args); every fraction of HBM matters at full geometry
+            if self.params.get("vae") is not None and self.vae_tiling is None:
+                # untiled offload chain: VAE params ride out the sampling
+                # stage on the host (the decode jit re-uploads its ~160MB
+                # automatically — numpy args); with vae_tiling the decoder's
+                # footprint is tile-bounded, so the VAE stays resident and
+                # the core never leaves HBM (enable_vae_tiling)
                 self.params["vae"] = jax.device_get(self.params["vae"])
         gc.collect()
         if getattr(self, "_text_encoders_dropped", False):
@@ -802,7 +828,8 @@ class FluxRepTextPipeline:
 
         if output_type == "latent":
             return FluxPipelineOutput(images=latents) if return_dict else latents
-        if layout_matched and getattr(self, "_text_encoders_dropped", False):
+        if (layout_matched and getattr(self, "_text_encoders_dropped", False)
+                and self.vae_tiling is None):
             # final stage of the offload chain ("...->transformer->vae",
             # reference model_cpu_offload_seq): the ~14GB core leaves HBM so
             # the VAE decoder's 1024^2 activations fit; the kept shape specs
@@ -919,13 +946,48 @@ class FluxRepTextPipeline:
     def _encode_scaled(self, images_nhwc: jax.Array, rng: jax.Array) -> jax.Array:
         """VAE-encode and apply (x - shift) * scale (reference :715-726)."""
         vcfg = self.vae.config
-        lat = self._vae_encode(self.params["vae"], images_nhwc, rng)
+        tiling = self.vae_tiling
+        f = vcfg.scale_factor
+        h, w = int(images_nhwc.shape[1]), int(images_nhwc.shape[2])
+        if tiling is not None and (h > f * tiling[0] or w > f * tiling[0]):
+            from reptext_tpu.ops.vae_tiling import tiled_apply
+
+            tile_px, overlap_px = f * tiling[0], f * tiling[1]
+            params = self.params["vae"]
+
+            def tile_fn(img_tile, idx):
+                return self._vae_encode(
+                    params, jnp.asarray(img_tile), jax.random.fold_in(rng, idx))
+
+            lat = tiled_apply(
+                tile_fn, np.asarray(images_nhwc, np.float32),
+                tile_px, overlap_px, 1, f, vcfg.latent_channels)
+            lat = jnp.asarray(lat)
+        else:
+            lat = self._vae_encode(self.params["vae"], images_nhwc, rng)
         return (lat - vcfg.shift_factor) * vcfg.scaling_factor
 
     def _decode(self, packed_latents: jax.Array) -> jax.Array:
         cfg = self.pipe_cfg
-        return self._vae_decode(self.params["vae"], packed_latents,
-                                cfg.latent_height, cfg.latent_width)
+        tiling = self.vae_tiling
+        h, w = cfg.latent_height, cfg.latent_width
+        if tiling is not None and (h > tiling[0] or w > tiling[0]):
+            from reptext_tpu.ops.vae_tiling import tiled_apply
+
+            # unpack on device (tiny), tile the decoder over the latent grid
+            lat = np.asarray(
+                jax.jit(unpack_latents, static_argnums=(1, 2))(
+                    packed_latents, h, w),
+                np.float32).transpose(0, 2, 3, 1)          # [B, h, w, C] NHWC
+            params = self.params["vae"]
+
+            def tile_fn(lat_tile, idx):
+                return self._vae_decode_tile(params, jnp.asarray(lat_tile))
+
+            return tiled_apply(tile_fn, lat, tiling[0], tiling[1],
+                               self.vae.config.scale_factor, 1,
+                               self.vae.config.out_channels)
+        return self._vae_decode(self.params["vae"], packed_latents, h, w)
 
     # jitted apply fns (cached per instance)
 
@@ -946,6 +1008,17 @@ class FluxRepTextPipeline:
             lat = unpack_latents(packed.astype(self.compute_dtype), h, w)
             lat = lat / vcfg.scaling_factor + vcfg.shift_factor
             return self.vae.apply(params, lat.transpose(0, 2, 3, 1), method="decode")
+        return f
+
+    @functools.cached_property
+    def _vae_decode_tile(self):
+        """One SCALED latent tile [B, th, tw, C] NHWC -> pixels (vae_tiling)."""
+        @jax.jit
+        def f(params, lat_tile):
+            vcfg = self.vae.config
+            lat = lat_tile.astype(self.compute_dtype)
+            lat = lat / vcfg.scaling_factor + vcfg.shift_factor
+            return self.vae.apply(params, lat, method="decode")
         return f
 
     @functools.cached_property
