@@ -145,12 +145,91 @@ def main(argv=None):
     params = pipe.params  # reuse the same weights across all variant pipelines
 
     if demo:
-        # words the demo checkpoint was trained to draw (overfit protocol)
-        lines = [TextLine("نور", (18, 24), font_size=font),
-                 TextLine("HI", (18, 72), font_size=font)]
-    else:
-        lines = [TextLine("مرحبا", (size // 8, size // 4), font_size=font),
-                 TextLine("Hi", (size // 8, size // 2), font_size=font)]
+        # ONE fidelity protocol (VERDICT r4 #6): score exactly like
+        # benchmarks/trained_gates.py — the full 16-word overfit sample set
+        # (build_overfit_set(TRAIN_WORDS)), same per-sample seeds (1000+i),
+        # same crop/judge path (sample_and_score). The round-4 artifacts
+        # disagreed (0.9167 vs 0.6667) because this tool scored a different,
+        # 2-word ad-hoc conds set.
+        from examples.overfit_e2e import (
+            TRAIN_WORDS, build_overfit_set, precompute_batch, sample_and_score,
+        )
+        from reptext_tpu.eval import ocr as ocr_judge
+
+        judge = ocr_judge.load_judge()
+        samples = build_overfit_set(size, words=TRAIN_WORDS)
+        batch = precompute_batch(pipe, samples)
+        res_ref = sample_and_score(pipe, samples, batch, steps, judge)
+        ref_acc = round(res_ref["char_accuracy"], 4)
+        ref_images = res_ref["images"]
+
+        # latent trajectory for the trigger replay: sample 0's uncached run
+        traj = []
+        pipe(samples[0]["conds"], prompt_embeds=batch["prompt_embeds"][:1],
+             pooled_embeds=batch["pooled"][:1], seed=1000,
+             num_inference_steps=steps,
+             callback=lambda i, lat: traj.append(
+                 np.asarray(lat, np.float32)) and None,
+             callback_steps=1)
+
+        rows = []
+        for th in thresholds:
+            pred = replay_trigger(traj, th, args.max_skip, warmup, steps)
+            vc_cfg = dataclasses.replace(
+                pipe_cfg, velocity_cache_mode=args.mode,
+                velocity_cache_threshold=th,
+                velocity_cache_max_skip=args.max_skip,
+                velocity_cache_warmup=warmup)
+            vc_pipe = FluxRepTextPipeline.create(
+                pipe_cfg=vc_cfg, params=dict(params), **cfgs, **common)
+            res = sample_and_score(vc_pipe, samples, batch, steps, judge)
+            mad = float(np.mean([
+                np.abs(a.astype(np.float64) - b.astype(np.float64)).mean()
+                for a, b in zip(res["images"], ref_images)]))
+            acc = round(res["char_accuracy"], 4)
+            row = {
+                "threshold": th,
+                "predicted_computed_steps": len(pred),
+                "predicted_speedup": round(steps / max(len(pred), 1), 3),
+                "pixel_mad": round(mad, 4),
+                "char_accuracy": acc,
+                "char_acc_delta": round(ref_acc - acc, 4),
+                "acceptable": bool(ref_acc - acc < 0.01),
+            }
+            rows.append(row)
+            print(row)
+            del vc_pipe
+
+        recommended = None
+        ok = [r for r in rows if r.get("acceptable")]
+        if ok:
+            recommended = max(ok, key=lambda r: r["threshold"])["threshold"]
+        out = {
+            "seed_protocol": "per-sample seeds 1000+i (trained_gates protocol)",
+            "protocol": "trained demo checkpoint (%s), %d words, %d^2, "
+                        "%d steps, seed-fixed — IDENTICAL to "
+                        "trained_gates.json" % (
+                            args.demo_ckpt, len(samples), size, steps),
+            "size": size, "steps": steps, "warmup": warmup,
+            "mode": args.mode, "max_skip": args.max_skip,
+            "weights": "TRAINED demo checkpoint (%s)" % args.demo_ckpt,
+            "char_accuracy_uncached": ref_acc,
+            "sweep": rows,
+            "recommended_threshold": recommended,
+            "caveats": [
+                "predicted_computed_steps replays the trigger on the "
+                "UNCACHED trajectory of sample 0 (cached trajectories drift "
+                "slightly) using post-step latents (one Euler update later "
+                "than the in-graph signal)",
+            ],
+        }
+        Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.output).write_text(json.dumps(out, indent=1))
+        print(f"wrote {args.output}; recommended_threshold={recommended}")
+        return 0
+
+    lines = [TextLine("مرحبا", (size // 8, size // 4), font_size=font),
+             TextLine("Hi", (size // 8, size // 2), font_size=font)]
     conds = build_conditions(lines, size, size)
     from reptext_tpu.cli import _tokenize
 

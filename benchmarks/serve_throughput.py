@@ -65,8 +65,11 @@ def build_pipeline(tiny: bool, full_fp8: bool = False, steps: int = STEPS):
         # keep the (small) encoders resident (serving encodes per request);
         # the core synthesizes lazily into the layout-matched sampler's
         # chosen formats on the first request (copy-free program — the
-        # plain jit OOMs on loop-hoisted weight relayout temps)
+        # plain jit OOMs on loop-hoisted weight relayout temps). Tiled VAE
+        # bounds the decode/cond-encode footprint so the resident core never
+        # has to leave HBM between requests (ops/vae_tiling.py).
         pipe._force_layout_matched = True
+        pipe.enable_vae_tiling()
         return pipe, size
 
     if tiny:

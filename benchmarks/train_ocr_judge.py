@@ -88,14 +88,20 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--device", choices=["cpu", "default"], default="cpu",
+                        help="cpu (default: the judge must be trainable "
+                             "without the TPU tunnel) or 'default' = let jax "
+                             "pick (the 1-core host makes CPU training of "
+                             "the v3 judge impractical; the train step is "
+                             "tiny on the chip)")
     args = parser.parse_args(argv)
 
     import jax
 
-    # training is host-render-bound and the judge must be runnable without
-    # the TPU tunnel; set BEFORE any backend probe (jax.default_backend()
-    # would initialize the tunnel backend just to ask its name)
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        # set BEFORE any backend probe (jax.default_backend() would
+        # initialize the tunnel backend just to ask its name)
+        jax.config.update("jax_platforms", "cpu")
 
     from reptext_tpu.eval import ocr
 

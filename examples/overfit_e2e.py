@@ -75,6 +75,26 @@ HOLDOUT_WORDS = ["سلام", "TAXI", "قمر", "404", "نهر", "OK", "باب", 
 PROMPT = "a sign with text"
 
 
+def synth_corpus(n: int, seed: int = 5) -> List[str]:
+    """n UNIQUE synthetic words (Arabic / upper / lower / digits, 2-5 chars)
+    for the corpus-scaling protocol (VERDICT r4 #7). Deterministic in seed;
+    disjointness between holdout and train comes from slicing one pool."""
+    from reptext_tpu.eval.ocr import ARABIC, DIGITS, LATIN, LATIN_LOWER
+
+    rng = np.random.default_rng(seed)
+    pools = [ARABIC, LATIN, LATIN_LOWER, DIGITS]
+    words: List[str] = []
+    seen = set()
+    while len(words) < n:
+        pool = pools[int(rng.integers(len(pools)))]
+        w = "".join(rng.choice(list(pool))
+                    for _ in range(int(rng.integers(2, 6))))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
 def demo_flux_cfg() -> FluxConfig:
     """Small but non-trivial geometry: 2+4 blocks, 4 heads x 64 = 256 inner."""
     return dataclasses.replace(
@@ -307,6 +327,105 @@ def sample_and_score(pipe: FluxRepTextPipeline, samples: List[Dict],
             "images": images}
 
 
+def run_corpus_scaling(args) -> int:
+    """Generalization vs corpus size (VERDICT r4 #7): train the demo stack
+    on K synthetic words for each K in --corpus-scale, score a FIXED 32-word
+    holdout every time, and report the train/holdout accuracy curve.
+
+    One pool of unique synthetic words is sliced so the holdout (first 32)
+    is disjoint from every training set; the VAE is trained ONCE on the
+    largest corpus and shared (the codec is text-agnostic; only the flow
+    model's generalization is under test). Flux/CN re-init from the same
+    random params for every K.
+    """
+    t_start = time.time()
+    ks = sorted({int(k) for k in args.corpus_scale.split(",")})
+    pool = synth_corpus(max(ks) + 32)
+    holdout_words, train_pool = pool[:32], pool[32:]
+    holdout_samples = build_overfit_set(args.size, words=holdout_words, seed=23)
+    samples_max = build_overfit_set(args.size, words=train_pool[:max(ks)])
+
+    pipe_cfg = PipelineConfig(
+        height=args.size, width=args.size,
+        num_inference_steps=args.steps_sample,
+        controlnet_conditioning_step=args.steps_sample,
+    )
+    pipe = FluxRepTextPipeline.create(
+        flux_cfg=demo_flux_cfg(), cn_cfg=demo_cn_cfg(), vae_cfg=demo_vae_cfg(),
+        pipe_cfg=pipe_cfg, clip_cfg=CLIPConfig().tiny(), t5_cfg=T5Config().tiny(),
+        seed=0,
+    )
+    print(f"[1/3] training shared VAE on K={max(ks)} corpus "
+          f"({args.steps_vae} steps)...", flush=True)
+    vae_params, psnr = train_vae(pipe.vae, samples_max, args.steps_vae)
+    pipe.params["vae"] = vae_params
+    print(f"      recon PSNR {psnr:.1f} dB", flush=True)
+
+    random_params = {"flux": pipe.params["flux"],
+                     "controlnet": pipe.params["controlnet"]}
+    from reptext_tpu.eval import ocr as ocr_judge
+
+    judge = ocr_judge.load_judge()
+    hold_batch = precompute_batch(pipe, holdout_samples)
+    res_rand = sample_and_score(pipe, holdout_samples, hold_batch,
+                                args.steps_sample, judge)
+
+    curve = []
+    for k in ks:
+        samples = samples_max[:k]
+        print(f"[2/3] K={k}: joint FLUX+CN training "
+              f"({args.steps_flux} steps, full batch {k})...", flush=True)
+        pipe.params.update(random_params)   # fresh start per K
+        batch = precompute_batch(pipe, samples)
+        trained = train_flow(pipe, batch, args.steps_flux,
+                             seed=args.train_seed)
+        pipe.params.update(trained)
+        res_tr = sample_and_score(pipe, samples[:16], batch,
+                                  args.steps_sample, judge)
+        res_ho = sample_and_score(pipe, holdout_samples, batch,
+                                  args.steps_sample, judge)
+        row = {
+            "corpus_size": k,
+            "char_accuracy_train_subset16": round(res_tr["char_accuracy"], 4),
+            "char_accuracy_holdout32": round(res_ho["char_accuracy"], 4),
+            "mean_edge_iou_holdout": round(res_ho["mean_edge_iou"], 4),
+        }
+        curve.append(row)
+        print(f"      {row}", flush=True)
+        if args.params_cache:
+            save_dir = f"{args.params_cache}_k{k}"
+            from reptext_tpu.io.checkpoint import save_pipeline_params
+
+            save_pipeline_params(
+                {"vae": pipe.params["vae"], **trained}, save_dir)
+
+    last = curve[-1]
+    out = {
+        "protocol": ("corpus scaling: train K in %s synthetic words, eval a "
+                     "FIXED disjoint 32-word holdout, %d^2, %d sample steps, "
+                     "%d flux steps/K, shared VAE" % (
+                         ks, args.size, args.steps_sample, args.steps_flux)),
+        "vae_recon_psnr_db": round(psnr, 2),
+        "train_steps_vae": args.steps_vae,
+        "train_steps_flux": args.steps_flux,
+        "train_seed": args.train_seed,
+        "corpus_scaling": curve,
+        # standard keys (bench.py carries these) = the LARGEST-K run
+        "char_accuracy_trained": last["char_accuracy_train_subset16"],
+        "char_accuracy_holdout": last["char_accuracy_holdout32"],
+        "char_accuracy_random": round(res_rand["char_accuracy"], 4),
+        "mean_edge_iou_holdout": last["mean_edge_iou_holdout"],
+        "mean_edge_iou_random": round(res_rand["mean_edge_iou"], 4),
+        "holdout_words": holdout_words,
+        "wall_s": round(time.time() - t_start, 1),
+        "device": jax.devices()[0].device_kind,
+    }
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.output).write_text(json.dumps(out, indent=1))
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-vae", type=int, default=2500)
@@ -327,7 +446,14 @@ def main(argv=None) -> int:
                     help="generalization protocol: train on TRAIN_WORDS "
                          "(16), additionally score HOLDOUT_WORDS (8) the "
                          "model never saw")
+    ap.add_argument("--corpus-scale", default=None, metavar="K1,K2,...",
+                    help="corpus-scaling protocol (VERDICT r4 #7): train on "
+                         "K synthetic words per point, score a fixed "
+                         "32-word holdout; writes the curve to --output")
     args = ap.parse_args(argv)
+
+    if args.corpus_scale:
+        return run_corpus_scaling(args)
 
     t_start = time.time()
     train_words = TRAIN_WORDS if args.holdout else WORDS

@@ -828,20 +828,22 @@ class FluxRepTextPipeline:
 
         if output_type == "latent":
             return FluxPipelineOutput(images=latents) if return_dict else latents
-        if (layout_matched and getattr(self, "_text_encoders_dropped", False)
-                and self.vae_tiling is None):
-            # final stage of the offload chain ("...->transformer->vae",
-            # reference model_cpu_offload_seq): the ~14GB core leaves HBM so
-            # the VAE decoder's 1024^2 activations fit; the kept shape specs
-            # re-synthesize it on the next sampling call. The local arg
-            # tuples still pin the buffers — drop them too.
+        if layout_matched and getattr(self, "_text_encoders_dropped", False):
             import gc as _gc
 
             # async dispatch would let the decode allocate while the sampler
-            # still owns its buffers — synchronize first
+            # still owns its multi-GB temps — synchronize first, and drop
+            # the local arg-tuple refs so their buffers free
             latents = jax.block_until_ready(latents)
-            for name, spec in getattr(self, "_fp8_core_specs", {}).items():
-                self.params[name] = spec
+            if self.vae_tiling is None:
+                # final stage of the offload chain ("...->transformer->vae",
+                # reference model_cpu_offload_seq): the ~14GB core leaves
+                # HBM so the VAE decoder's 1024^2 activations fit; the kept
+                # shape specs re-synthesize it on the next sampling call.
+                # With vae_tiling the decode is tile-bounded and the core
+                # STAYS resident (enable_vae_tiling) — no re-deferral.
+                for name, spec in getattr(self, "_fp8_core_specs", {}).items():
+                    self.params[name] = spec
             margs = sargs = sampler = None  # noqa: F841 — release buffer refs
             _gc.collect()
         images = postprocess_images(self._decode(latents))
@@ -939,6 +941,12 @@ class FluxRepTextPipeline:
         )
         if output_type == "latent":
             return latents
+        if self.vae_tiling is not None and getattr(
+                self, "_force_layout_matched", False):
+            # fp8-resident serving: let the sampler's multi-GB temps retire
+            # before the (tile-bounded) decode allocates — the HBM margin
+            # above the resident core is a few hundred MB
+            latents = jax.block_until_ready(latents)
         return postprocess_images(self._decode(latents))
 
     # ------------------------------------------------------------ internals
@@ -976,8 +984,7 @@ class FluxRepTextPipeline:
 
             # unpack on device (tiny), tile the decoder over the latent grid
             lat = np.asarray(
-                jax.jit(unpack_latents, static_argnums=(1, 2))(
-                    packed_latents, h, w),
+                self._unpack_jit(packed_latents, h, w),
                 np.float32).transpose(0, 2, 3, 1)          # [B, h, w, C] NHWC
             params = self.params["vae"]
 
@@ -1009,6 +1016,10 @@ class FluxRepTextPipeline:
             lat = lat / vcfg.scaling_factor + vcfg.shift_factor
             return self.vae.apply(params, lat.transpose(0, 2, 3, 1), method="decode")
         return f
+
+    @functools.cached_property
+    def _unpack_jit(self):
+        return jax.jit(unpack_latents, static_argnums=(1, 2))
 
     @functools.cached_property
     def _vae_decode_tile(self):
