@@ -87,6 +87,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--confusion-frac", type=float, default=0.15,
+                        help="fraction of training words drawn from the "
+                             "visually-confusable groups (eval.ocr."
+                             "CONFUSION_GROUPS); the v3 latin_upper gate "
+                             "miss (0.897 vs 0.90) was confusable caps")
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--device", choices=["cpu", "default"], default="cpu",
                         help="cpu (default: the judge must be trainable "
@@ -109,7 +114,8 @@ def main(argv=None):
         params = ocr.load_judge(str(WEIGHTS))
     else:
         t0 = time.time()
-        params = ocr.train_judge(steps=args.steps, batch_size=args.batch_size)
+        params = ocr.train_judge(steps=args.steps, batch_size=args.batch_size,
+                                 confusion_frac=args.confusion_frac)
         print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
         ocr.save_judge(params, str(WEIGHTS))
         print(f"wrote {WEIGHTS}")

@@ -350,13 +350,14 @@ def train_judge(
     font_path: Optional[str] = None,
     log_every: int = 200,
     words: Optional[Sequence[str]] = None,
+    confusion_frac: float = 0.15,
 ) -> Dict:
     """Train the judge on synthetic renders; returns the param tree."""
     import optax
 
     rng = np.random.default_rng(seed)
     cache = RenderCache(6144 if words is not None else 12288, rng, font_path,
-                        words=words)
+                        words=words, confusion_frac=confusion_frac)
     model = OCRJudge()
     params = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, IMG_H, IMG_W, 1))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# --- clamped max-free softmax (round-5 third pass on the VPU floor) --------
+#
+# The classical online softmax exists to keep exp() in range for ARBITRARY
+# logits. FLUX applies RMSNorm to q and k per head (QK-norm), which bounds
+# |logit| <= sqrt(d)*|g_q|*|g_k| ~ 11.3*|g|^2 — and a two-sided clamp at
+# +/-_LOGIT_CLAMP makes exp safe for ANY input: exp(+/-43) spans
+# [2.1e-19, 4.7e18], so even a 1e5-key row sums to < 4.7e23 (fp32 max
+# 3.4e38) and a full row at the lower clamp still sums to S*2.1e-19 >> 0
+# (fp32 min normal 1.2e-38) — overflow and 0/0 are both impossible without
+# tracking a running max. Dropping the max buys, per K/V chunk: no
+# max-reduce pass, no (logits - m) subtract (exp(logits) directly), no
+# cross-chunk alpha rescale of the accumulator — and makes the chunks
+# DATA-INDEPENDENT, so the VLIW scheduler can overlap chunk i's exp (VPU)
+# with chunk i+1's QK matmul (MXU) without the serialized max/rescale
+# chain. The clamp only engages at |logit| > 43, i.e. QK-norm gain products
+# >= 3.8 — far outside trained-model range; if it DOES engage, the softmax
+# saturates toward the clamped entries' uniform mix (documented deviation,
+# tests/test_attention.py pins both sides of the bound). The lse output
+# stays exact: log(sum exp(logits)) with no max offset.
+#
+# REPTEXT_SOFTMAX=online restores the running-max kernels (A/B lever;
+# numerics at trained-model scales are identical to ~1e-6).
+_LOGIT_CLAMP = 43.0
+
+
+def _softmax_mode() -> str:
+    mode = os.environ.get("REPTEXT_SOFTMAX", "clamped")
+    if mode not in ("clamped", "online"):
+        raise ValueError(f"REPTEXT_SOFTMAX must be clamped|online, got {mode}")
+    return mode
 
 
 # Above this joint length the single-pass kernel's [block_q, S] logits tile
@@ -57,34 +90,52 @@ def _pick_chunks(s_pad: int, block_q: int):
     return n_chunks, block_q
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int,
-                 scale: float, n_chunks: int):
-    """Single grid step per (b, h, q-block); whole K/V VMEM-resident.
+def _softmax_chunk_loop(q, k_ref, v_ref, n_chunks: int, valid_len: int,
+                        max_free: bool, rotate_k=None):
+    """Shared chunked softmax body for the single-pass kernels.
 
-    The softmax scale is folded into q up front (one [block_q, D] multiply
-    instead of a [block_q, S] pass: 36x fewer VPU ops at S=4608, D=128), and
-    the K/V extent is processed as ``n_chunks`` statically-unrolled online-
-    softmax chunks. The unrolled body exposes chunk i's exp (VPU) and chunk
-    i+1's QK matmul (MXU) as independent instructions the VLIW scheduler can
-    overlap — measured 3.24 -> 2.86 ms at (24, 4608, 128), where the
-    single-chunk kernel is VPU-bound (benchmarks/exp_softmax_overlap.py).
+    Returns (acc, denom, lse_offset): attention output = acc / denom,
+    logsumexp = lse_offset + log(denom). ``rotate_k`` (RoPE variant) maps a
+    raw K chunk slice + chunk index to the rotated K tile.
+
+    max_free=True (default): clamped max-free softmax — e = exp(clip(logits))
+    with no running max; every chunk is independent (see _LOGIT_CLAMP note).
+    max_free=False: classical online softmax with the running-max/alpha
+    rescale chain (REPTEXT_SOFTMAX=online).
     """
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     s_pad = k_ref.shape[2]
     chunk = s_pad // n_chunks
-
     m = acc = denom = None
-    for ci in range(n_chunks):  # static unroll
-        k = k_ref[0, 0, ci * chunk:(ci + 1) * chunk, :]
+    for ci in range(n_chunks):  # static unroll (VPU/MXU overlap)
+        k_raw = k_ref[0, 0, ci * chunk:(ci + 1) * chunk, :]
+        k = rotate_k(k_raw, ci, chunk) if rotate_k is not None else k_raw
         v = v_ref[0, 0, ci * chunk:(ci + 1) * chunk, :]
         logits = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [block_q, chunk]
+        if max_free:
+            logits = jnp.clip(logits, -_LOGIT_CLAMP, _LOGIT_CLAMP)
         if valid_len < (ci + 1) * chunk:
+            # padding mask AFTER the clip: exp(-inf) == 0 exactly
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < valid_len - ci * chunk, logits, -jnp.inf)
+
+        if max_free:
+            e = jnp.exp(logits)
+            pv = jax.lax.dot_general(
+                e.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if denom is None:
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+                acc = pv
+            else:
+                denom = denom + jnp.sum(e, axis=-1, keepdims=True)
+                acc = acc + pv
+            continue
 
         m_c = jnp.max(logits, axis=-1, keepdims=True)
         if m is None:
@@ -109,7 +160,26 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int,
                 preferred_element_type=jnp.float32,
             )
         m = m_new
+    return acc, denom, (jnp.float32(0.0) if max_free else m)
 
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int,
+                 scale: float, n_chunks: int, max_free: bool):
+    """Single grid step per (b, h, q-block); whole K/V VMEM-resident.
+
+    The softmax scale is folded into q up front (one [block_q, D] multiply
+    instead of a [block_q, S] pass: 36x fewer VPU ops at S=4608, D=128), and
+    the K/V extent is processed as ``n_chunks`` statically-unrolled chunks.
+    The unrolled body exposes chunk i's exp (VPU) and chunk i+1's QK matmul
+    (MXU) as independent instructions the VLIW scheduler can overlap —
+    measured 3.24 -> 2.86 ms at (24, 4608, 128) with the online-softmax
+    body, where the single-chunk kernel is VPU-bound
+    (benchmarks/exp_softmax_overlap.py); the max-free body removes the
+    remaining cross-chunk serialization (see _LOGIT_CLAMP).
+    """
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    acc, denom, m = _softmax_chunk_loop(
+        q, k_ref, v_ref, n_chunks, valid_len, max_free)
     # Normalize AFTER the PV matmul: dividing the [block_q, D] output costs
     # block_q*D VPU divides instead of a block_q*S_pad full-width pass.
     o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
@@ -120,8 +190,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, valid_len: int,
 
 def _attn_kernel_rope(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
                       ksin_ref, o_ref, l_ref, *, valid_len: int, scale: float,
-                      n_chunks: int):
-    """Chunked online-softmax kernel with RoPE fused (half-split layout).
+                      n_chunks: int, max_free: bool):
+    """Chunked softmax kernel with RoPE fused (half-split layout).
 
     q/k arrive UNROTATED in half-split channel order; rotation happens on the
     VMEM-resident tiles — the rotated tensors never round-trip HBM, which is
@@ -138,64 +208,36 @@ def _attn_kernel_rope(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
     qrot = jnp.concatenate([-q0[:, d2:], q0[:, :d2]], axis=-1)
     q = ((q0 * qcos_ref[...] + qrot * qsin_ref[...]) * scale).astype(q_ref.dtype)
 
-    s_pad = k_ref.shape[2]
-    chunk = s_pad // n_chunks
-    m = acc = denom = None
-    for ci in range(n_chunks):  # static unroll (VPU/MXU overlap, see above)
-        k0 = k_ref[0, 0, ci * chunk:(ci + 1) * chunk, :].astype(jnp.float32)
+    def rotate_k(k_raw, ci, chunk):
+        k0 = k_raw.astype(jnp.float32)
         cc = kcos_ref[ci * chunk:(ci + 1) * chunk, :]
         sc = ksin_ref[ci * chunk:(ci + 1) * chunk, :]
         krot = jnp.concatenate([-k0[:, d2:], k0[:, :d2]], axis=-1)
-        k = (k0 * cc + krot * sc).astype(k_ref.dtype)
-        v = v_ref[0, 0, ci * chunk:(ci + 1) * chunk, :]
-        logits = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if valid_len < (ci + 1) * chunk:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < valid_len - ci * chunk, logits, -jnp.inf)
+        return (k0 * cc + krot * sc).astype(k_raw.dtype)
 
-        m_c = jnp.max(logits, axis=-1, keepdims=True)
-        if m is None:
-            m_new = m_c
-            e = jnp.exp(logits - m_new)
-            denom = jnp.sum(e, axis=-1, keepdims=True)
-            acc = jax.lax.dot_general(
-                e.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            m_new = jnp.maximum(m, m_c)
-            alpha = jnp.exp(m - m_new)
-            e = jnp.exp(logits - m_new)
-            denom = denom * alpha + jnp.sum(e, axis=-1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                e.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        m = m_new
-
+    acc, denom, m = _softmax_chunk_loop(
+        q, k_ref, v_ref, n_chunks, valid_len, max_free, rotate_k=rotate_k)
     o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
     l_ref[0, 0] = m + jnp.log(denom)
 
 
 def _streaming_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_scr, l_scr, acc_scr,
-                      *, valid_len: int, scale: float, block_kv: int):
-    """Online-softmax flash attention: kv chunks stream through VMEM.
+                      *, valid_len: int, scale: float, block_kv: int,
+                      max_free: bool):
+    """Flash attention with kv chunks streaming through VMEM.
 
-    Grid (B, H, q_blocks, kv_blocks) with kv innermost; scratch (running max,
-    normalizer, fp32 accumulator) persists across the kv dimension.
+    Grid (B, H, q_blocks, kv_blocks) with kv innermost; scratch (running max
+    in online mode, normalizer, fp32 accumulator) persists across the kv
+    dimension. max_free drops the running-max/alpha chain (see _LOGIT_CLAMP);
+    the per-block rescale of the [block_q, D] accumulator disappears.
     """
     kv_idx = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
     @pl.when(kv_idx == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        if not max_free:
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -208,26 +250,37 @@ def _streaming_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_scr, l_scr, acc_scr,
         preferred_element_type=jnp.float32,
     ) * scale                   # [block_q, block_kv]
 
+    if max_free:
+        logits = jnp.clip(logits, -_LOGIT_CLAMP, _LOGIT_CLAMP)
     first_invalid = valid_len - kv_idx * block_kv
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < first_invalid, logits, -jnp.inf)
 
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)
+    if max_free:
+        p = jnp.exp(logits)
+        l_scr[:] = l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
 
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = m_new
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
 
     @pl.when(kv_idx == n_kv - 1)
     def _():
+        m_fin = jnp.float32(0.0) if max_free else m_scr[:]
         o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        l_ref[0, 0] = m_scr[:] + jnp.log(l_scr[:])
+        l_ref[0, 0] = m_fin + jnp.log(l_scr[:])
 
 
 def _streaming_flash(q, k, v, block_q, block_kv, interpret):
@@ -240,7 +293,8 @@ def _streaming_flash(q, k, v, block_q, block_kv, interpret):
 
     grid = (b, h, s_pad // block_q, s_pad // block_kv)
     kernel = functools.partial(
-        _streaming_kernel, valid_len=s, scale=scale, block_kv=block_kv
+        _streaming_kernel, valid_len=s, scale=scale, block_kv=block_kv,
+        max_free=_softmax_mode() == "clamped",
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -319,7 +373,8 @@ def _flash_attention_impl(
     n_chunks, block_q = _pick_chunks(s_pad, block_q)
     grid = (b, h, s_pad // block_q)
     kernel = functools.partial(
-        _attn_kernel, valid_len=s, scale=scale, n_chunks=n_chunks
+        _attn_kernel, valid_len=s, scale=scale, n_chunks=n_chunks,
+        max_free=_softmax_mode() == "clamped",
     )
 
     out, lse = pl.pallas_call(
@@ -418,7 +473,8 @@ def _flash_attention_rope_impl(
 
     grid = (b, h, s_pad // block_q)
     kernel = functools.partial(
-        _attn_kernel_rope, valid_len=s, scale=scale, n_chunks=n_chunks
+        _attn_kernel_rope, valid_len=s, scale=scale, n_chunks=n_chunks,
+        max_free=_softmax_mode() == "clamped",
     )
     row4 = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                         memory_space=pltpu.VMEM)
@@ -519,7 +575,7 @@ flash_attention_rope.defvjp(_rope_fwd, _rope_bwd)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
-               *, valid_len: int, scale: float, block_kv: int):
+               *, valid_len: int, scale: float, block_kv: int, max_free: bool):
     kv_idx = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
@@ -536,6 +592,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block_q, block_kv]
+    if max_free:
+        # mirror the forward's clamp so p matches the forward EXACTLY in the
+        # unclamped region (everywhere, for QK-normed models). For a logit
+        # that DID clamp, ds is the straight-through estimate (clip treated
+        # as identity) — acceptable for a region trained models never enter.
+        logits = jnp.clip(logits, -_LOGIT_CLAMP, _LOGIT_CLAMP)
     first_invalid = valid_len - kv_idx * block_kv
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < first_invalid, logits, -jnp.inf)
@@ -558,7 +620,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
 
 def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
-                *, valid_len: int, scale: float, block_kv: int):
+                *, valid_len: int, scale: float, block_kv: int,
+                max_free: bool):
     q_idx = pl.program_id(3)
     n_q = pl.num_programs(3)
     kv_idx = pl.program_id(2)
@@ -577,6 +640,8 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block_q, block_kv]
+    if max_free:
+        logits = jnp.clip(logits, -_LOGIT_CLAMP, _LOGIT_CLAMP)  # see _dq_kernel
     first_invalid = valid_len - kv_idx * block_kv
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < first_invalid, logits, -jnp.inf)
@@ -632,7 +697,9 @@ def _flash_backward_pallas(q, k, v, out, lse, g, block_q, interpret):
         (1, 1, blk, 1), lambda bi, hi, i, j: (bi, hi, j, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, valid_len=s, scale=scale, block_kv=block_kv),
+        functools.partial(_dq_kernel, valid_len=s, scale=scale,
+                          block_kv=block_kv,
+                          max_free=_softmax_mode() == "clamped"),
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
         grid=(b, h, s_pad // block_q, s_pad // block_kv),
         in_specs=[row4(block_q), inner4(block_kv), inner4(block_kv),
@@ -648,7 +715,9 @@ def _flash_backward_pallas(q, k, v, out, lse, g, block_q, interpret):
     )(q, k, v, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, valid_len=s, scale=scale, block_kv=block_kv),
+        functools.partial(_dkv_kernel, valid_len=s, scale=scale,
+                          block_kv=block_kv,
+                          max_free=_softmax_mode() == "clamped"),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, s_pad, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, s_pad, d), v.dtype),

@@ -293,12 +293,14 @@ class FluxRepTextPipeline:
                 if self.params.get(k) is not None:
                     self.params[k] = None
             self._text_encoders_dropped = True
-            if self.params.get("vae") is not None and self.vae_tiling is None:
-                # untiled offload chain: VAE params ride out the sampling
-                # stage on the host (the decode jit re-uploads its ~160MB
-                # automatically — numpy args); with vae_tiling the decoder's
-                # footprint is tile-bounded, so the VAE stays resident and
-                # the core never leaves HBM (enable_vae_tiling)
+            if self.params.get("vae") is not None:
+                # VAE params ride out the sampling stage on the host either
+                # way: the HBM margin above the resident core is smaller
+                # than the VAE tree (keeping it resident measured OOM inside
+                # the full-geometry sampler). Untiled decode re-uploads via
+                # numpy jit args; tiled passes re-upload ONCE per pass
+                # (_vae_device_params) — the CORE stays resident, which is
+                # the 52 s/image round-4 cost this kills.
                 self.params["vae"] = jax.device_get(self.params["vae"])
         gc.collect()
         if getattr(self, "_text_encoders_dropped", False):
@@ -951,6 +953,19 @@ class FluxRepTextPipeline:
 
     # ------------------------------------------------------------ internals
 
+    def _vae_device_params(self):
+        """Device copy of the VAE tree for a multi-tile pass.
+
+        Sequential residency hosts the VAE during sampling; a tiled pass
+        uploads it ONCE (~160MB) and lets the copy die with the pass —
+        closing over host numpy params would re-upload per TILE. No-op when
+        the tree is already on device."""
+        params = self.params["vae"]
+        leaves = jax.tree_util.tree_leaves(params)
+        if leaves and isinstance(leaves[0], np.ndarray):
+            return jax.device_put(params)
+        return params
+
     def _encode_scaled(self, images_nhwc: jax.Array, rng: jax.Array) -> jax.Array:
         """VAE-encode and apply (x - shift) * scale (reference :715-726)."""
         vcfg = self.vae.config
@@ -961,7 +976,7 @@ class FluxRepTextPipeline:
             from reptext_tpu.ops.vae_tiling import tiled_apply
 
             tile_px, overlap_px = f * tiling[0], f * tiling[1]
-            params = self.params["vae"]
+            params = self._vae_device_params()
 
             def tile_fn(img_tile, idx):
                 return self._vae_encode(
@@ -986,7 +1001,7 @@ class FluxRepTextPipeline:
             lat = np.asarray(
                 self._unpack_jit(packed_latents, h, w),
                 np.float32).transpose(0, 2, 3, 1)          # [B, h, w, C] NHWC
-            params = self.params["vae"]
+            params = self._vae_device_params()
 
             def tile_fn(lat_tile, idx):
                 return self._vae_decode_tile(params, jnp.asarray(lat_tile))

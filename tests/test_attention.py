@@ -222,3 +222,77 @@ def test_flash_attention_rope_pallas_backward():
         # fused forward uses bf16 in-kernel tables -> bf16-order tolerance
         np.testing.assert_allclose(np.asarray(gp), np.asarray(ge),
                                    rtol=5e-2, atol=5e-2)
+
+
+# --- clamped max-free softmax semantics (round 5) --------------------------
+
+
+def _planted_logit_qkv(peak: float, s=256, d=32):
+    """q/k engineered so row 0's logits span [-peak, peak] exactly."""
+    r = np.random.default_rng(3)
+    q = np.zeros((1, 1, s, d), np.float32)
+    k = np.zeros((1, 1, s, d), np.float32)
+    q[0, 0, :, 0] = peak * np.sqrt(d)          # scale folds in 1/sqrt(d)
+    k[0, 0, :, 0] = np.linspace(-1.0, 1.0, s)  # logits = peak*linspace
+    v = r.standard_normal((1, 1, s, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_clamped_softmax_exact_inside_bound():
+    # |logits| up to 40 < _LOGIT_CLAMP: the max-free kernel must agree with
+    # the true softmax even though exp(40) = 2.4e17 (no running max).
+    from reptext_tpu.ops import flash_attention as fa
+    assert fa._softmax_mode() == "clamped"  # the default
+    q, k, v = _planted_logit_qkv(peak=40.0)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_clamped_softmax_beyond_bound_is_clipped_softmax():
+    # |logits| beyond the clamp: the kernel computes softmax of the CLIPPED
+    # logits (documented deviation; QK-normed models never reach it).
+    from reptext_tpu.ops import flash_attention as fa
+    q, k, v = _planted_logit_qkv(peak=80.0)
+    clipped = np.clip(
+        np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k))
+        / np.sqrt(q.shape[-1]),
+        -fa._LOGIT_CLAMP, fa._LOGIT_CLAMP,
+    )
+    p = np.exp(clipped - clipped.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # ... and is NOT the unclipped softmax (the test would be vacuous)
+    raw = np.asarray(xla_attention(q, k, v))
+    assert np.abs(raw - got).max() > 1e-3
+
+
+def test_online_mode_matches_clamped(monkeypatch):
+    from reptext_tpu.ops import flash_attention as fa
+    q, k, v = _qkv(s=200, seed=31)
+    got_clamped = np.asarray(flash_attention(q, k, v, interpret=True))
+    monkeypatch.setenv("REPTEXT_SOFTMAX", "online")
+    assert fa._softmax_mode() == "online"
+    got_online = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got_clamped, got_online, rtol=1e-5, atol=1e-5)
+
+
+def test_clamped_streaming_and_grads_consistent():
+    # streaming fwd + pallas bwd both run the clamped path; grads must match
+    # the einsum oracle at normal logit scales.
+    from reptext_tpu.ops.flash_attention import _streaming_flash
+    q, k, v = _qkv(s=200, seed=37)
+    want = np.asarray(xla_attention(q, k, v))
+    got, _ = _streaming_flash(q, k, v, block_q=128, block_kv=128,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    fn_p = lambda *a: flash_attention(*a, 128, True, "pallas").sum()  # noqa: E731
+    fn_e = lambda *a: flash_attention(*a, 128, True, "einsum").sum()  # noqa: E731
+    gp = jax.grad(fn_p, argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(fn_e, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
