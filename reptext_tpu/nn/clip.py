@@ -74,6 +74,14 @@ class CLIPTextEncoder(nn.Module):
     def __call__(self, input_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
         b, s = input_ids.shape
+        if s > cfg.max_position_embeddings:
+            # out-of-range nn.Embed lookups FILL with NaN (jnp.take default),
+            # which surfaces far downstream as NaN latents — fail loudly at
+            # the boundary instead (tokenize to the config length, see
+            # cli._tokenize)
+            raise ValueError(
+                f"sequence length {s} exceeds max_position_embeddings "
+                f"{cfg.max_position_embeddings} for this CLIPConfig")
         tok = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
             param_dtype=self.param_dtype, name="token_embedding",
