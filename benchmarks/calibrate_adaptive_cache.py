@@ -156,7 +156,7 @@ def main(argv=None):
         )
         from reptext_tpu.eval import ocr as ocr_judge
 
-        judge = ocr_judge.load_judge()
+        judge = ocr_judge.load_judge_ensemble()
         samples = build_overfit_set(size, words=TRAIN_WORDS)
         batch = precompute_batch(pipe, samples)
         res_ref = sample_and_score(pipe, samples, batch, steps, judge)
@@ -251,7 +251,7 @@ def main(argv=None):
     try:
         from reptext_tpu.eval import ocr as ocr_judge
 
-        judge = ocr_judge.load_judge()
+        judge = ocr_judge.load_judge_ensemble()
         texts = [ln.text for ln in lines]
 
         def char_acc(img):

@@ -158,7 +158,7 @@ def main(argv=None):
     try:
         from reptext_tpu.eval import ocr as ocr_judge
 
-        judge = ocr_judge.load_judge()
+        judge = ocr_judge.load_judge_ensemble()
         texts = [ln.text for ln in lines]
         crops = {
             "sampled": [gen[lc.bbox[1]:lc.bbox[3], lc.bbox[0]:lc.bbox[2]]

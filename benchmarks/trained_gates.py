@@ -53,7 +53,7 @@ def main(argv=None) -> int:
     from reptext_tpu.pipelines import FluxRepTextPipeline
 
     saved = load_pipeline_params(args.params_cache)
-    judge = ocr_judge.load_judge()
+    judge = ocr_judge.load_judge_ensemble()
     # all 16 training words: finer accuracy granularity than the 8-word
     # subset (one misread word = 0.0625, not 0.125)
     samples = build_overfit_set(args.size, words=TRAIN_WORDS)

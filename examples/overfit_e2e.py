@@ -365,7 +365,7 @@ def run_corpus_scaling(args) -> int:
                      "controlnet": pipe.params["controlnet"]}
     from reptext_tpu.eval import ocr as ocr_judge
 
-    judge = ocr_judge.load_judge()
+    judge = ocr_judge.load_judge_ensemble()
     hold_batch = precompute_batch(pipe, holdout_samples)
     res_rand = sample_and_score(pipe, holdout_samples, hold_batch,
                                 args.steps_sample, judge)
@@ -532,7 +532,7 @@ def main(argv=None) -> int:
     try:
         from reptext_tpu.eval import ocr as ocr_judge
 
-        judge = ocr_judge.load_judge()
+        judge = ocr_judge.load_judge_ensemble()
     except FileNotFoundError:
         judge = None
         print("      (no OCR judge weights; char accuracy skipped)")

@@ -8,6 +8,7 @@ from reptext_tpu.eval.ocr import (  # noqa: F401
     char_accuracy,
     decode_logits,
     load_judge,
+    load_judge_ensemble,
     prepare_crop,
     save_judge,
     train_judge,

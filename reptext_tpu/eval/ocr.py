@@ -214,19 +214,30 @@ def prepare_crop(region: np.ndarray) -> np.ndarray:
     return _standardize(_resize_box(_canonicalize(g)))[:, :, None]
 
 
-def _augment(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+def _augment(img: np.ndarray, rng: np.random.Generator,
+             harsh: bool = False) -> np.ndarray:
     """Train-time augmentation: background level, contrast, polarity, noise,
-    blur — matches the variability of VAE-decoded sampled text regions."""
+    blur — matches the variability of VAE-decoded sampled text regions.
+
+    ``harsh``: draw from the tail of the distribution (low contrast + strong
+    blur + strong noise together, SNR ~2) — where nearly all judge errors
+    live; the training curriculum oversamples it (train_judge harsh_frac)."""
     from scipy import ndimage
 
-    ink = rng.uniform(0.5, 1.0)
-    bg = rng.uniform(0.0, 0.35)
+    if harsh:
+        ink = rng.uniform(0.5, 0.72)
+        bg = rng.uniform(0.22, 0.35)
+    else:
+        ink = rng.uniform(0.5, 1.0)
+        bg = rng.uniform(0.0, 0.35)
     out = bg + img * (ink - bg)
     if rng.random() < 0.5:
         out = 1.0 - out                              # polarity flip
-    if rng.random() < 0.6:
-        out = ndimage.gaussian_filter(out, rng.uniform(0.2, 0.8))
-    out = out + rng.normal(0.0, rng.uniform(0.01, 0.07), out.shape)
+    if harsh or rng.random() < 0.6:
+        lo, hi = (0.5, 0.8) if harsh else (0.2, 0.8)
+        out = ndimage.gaussian_filter(out, rng.uniform(lo, hi))
+    lo_n = 0.04 if harsh else 0.01
+    out = out + rng.normal(0.0, rng.uniform(lo_n, 0.07), out.shape)
     return out.astype(np.float32)
 
 
@@ -311,10 +322,12 @@ def make_batch(
     font_path: Optional[str] = None,
     words: Optional[Sequence[str]] = None,
     cache: Optional[RenderCache] = None,
+    harsh_frac: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Synthetic labeled batch: (images [B,32,128,1], labels [B,L],
     label_paddings [B,L], texts). With a RenderCache, words are drawn from
-    the pre-rendered pool and only augmentation runs per step."""
+    the pre-rendered pool and only augmentation runs per step. ``harsh_frac``
+    of samples draw the harsh augmentation tail (see _augment)."""
     images = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
     labels = np.zeros((batch_size, MAX_LABEL), np.int32)
     paddings = np.ones((batch_size, MAX_LABEL), np.float32)
@@ -329,7 +342,8 @@ def make_batch(
             size = int(rng.integers(24, 56))
             img = _resize_box(_canonicalize(
                 render_word(text, font_size=size, font_path=font_path)))
-        images[b] = _standardize(_augment(img, rng))[:, :, None]
+        images[b] = _standardize(_augment(
+            img, rng, harsh=rng.random() < harsh_frac))[:, :, None]
         # case-SENSITIVE labels (v2); spaces and out-of-charset chars are
         # dropped from the label (a phrase reads as its letters run together)
         ids = [CHAR_TO_ID[c] for c in text if c in CHAR_TO_ID][:MAX_LABEL]
@@ -351,8 +365,13 @@ def train_judge(
     log_every: int = 200,
     words: Optional[Sequence[str]] = None,
     confusion_frac: float = 0.15,
+    harsh_frac: float = 0.3,
 ) -> Dict:
-    """Train the judge on synthetic renders; returns the param tree."""
+    """Train the judge on synthetic renders; returns the param tree.
+
+    ``harsh_frac`` of samples draw the harsh augmentation tail (low contrast
+    + strong blur + strong noise together) — the regime holding nearly all
+    residual eval errors; uniform parameter sampling visits it rarely."""
     import optax
 
     rng = np.random.default_rng(seed)
@@ -384,7 +403,7 @@ def train_judge(
 
     for i in range(steps):
         images, labels, paddings, _ = make_batch(
-            rng, batch_size, font_path, cache=cache
+            rng, batch_size, font_path, cache=cache, harsh_frac=harsh_frac
         )
         params, ema, opt_state, loss = step_fn(
             params, ema, opt_state, jnp.asarray(images), jnp.asarray(labels),
@@ -443,21 +462,38 @@ def char_accuracy(
     sub-pixel placement of the resized crop."""
     model = OCRJudge()
     apply_fn = apply_fn or model.apply
+    # ``params`` may be one tree or an ENSEMBLE (list of trees,
+    # load_judge_ensemble): per member, TTA-averaged logits -> softmax;
+    # member probabilities averaged (committee vote) before decoding —
+    # independently-seeded members disagree on borderline glyphs and the
+    # average fixes single-member confusions.
+    members = list(params) if isinstance(params, (list, tuple)) else [params]
     crops = np.stack([prepare_crop(r) for r in regions])
 
     def vshift(x, k):
         idx = np.clip(np.arange(x.shape[1]) + k, 0, x.shape[1] - 1)
         return x[:, idx]
 
+    # NOTE: horizontal-shift TTA measured NEGATIVE (latin_upper 0.862 ->
+    # 0.852): shifting columns moves every CTC frame boundary, so averaging
+    # misaligned logit sequences smears adjacent character probabilities.
+    # Vertical shifts keep frames aligned and help; don't revisit.
     variants = [crops, vshift(crops, 1), vshift(crops, -1)]
     both = np.concatenate([v * sgn for sgn in (1.0, -1.0) for v in variants])
-    logits = np.asarray(apply_fn(params, jnp.asarray(both)))
     k = len(variants)
     n_ = len(regions)
-    pos = logits[: k * n_].reshape(k, n_, *logits.shape[1:]).mean(axis=0)
-    neg = logits[k * n_:].reshape(k, n_, *logits.shape[1:]).mean(axis=0)
-    logits = np.concatenate([pos, neg], axis=0)
-    decoded = decode_logits(logits)
+    both_j = jnp.asarray(both)
+    probs = None
+    for m in members:
+        logits = np.asarray(apply_fn(m, both_j))
+        pos = logits[: k * n_].reshape(k, n_, *logits.shape[1:]).mean(axis=0)
+        neg = logits[k * n_:].reshape(k, n_, *logits.shape[1:]).mean(axis=0)
+        lg = np.concatenate([pos, neg], axis=0)
+        lg = lg - lg.max(axis=-1, keepdims=True)
+        p_ = np.exp(lg)
+        p_ /= p_.sum(axis=-1, keepdims=True)
+        probs = p_ if probs is None else probs + p_
+    decoded = decode_logits(probs)
     n = len(regions)
     accs = []
     for i, want in enumerate(texts):
@@ -524,3 +560,25 @@ def load_judge(path: Optional[str] = None) -> Dict:
                 "benchmarks/train_ocr_judge.py"
             )
     return _unflatten(flat)
+
+
+def load_judge_ensemble(paths: Optional[Sequence[str]] = None) -> list:
+    """Committee of judges for SCORING (char_accuracy averages member
+    probabilities). Defaults to benchmarks/ocr_judge.npz plus every sibling
+    ocr_judge_m*.npz (independently-seeded members,
+    benchmarks/train_ocr_judge.py --seed N --member M). Falls back to the
+    single default judge when no members exist. In-graph uses (the CTC
+    perceptual loss) keep load_judge(): one member, differentiable apply.
+
+    MEASURED NEGATIVE for independently-trained members (round 5): CTC frame
+    alignment is not canonical across models, so frame-wise probability
+    averaging smears adjacent characters (latin_upper 0.862 single ->
+    0.849 two-member). No ocr_judge_m*.npz is shipped; the machinery stays
+    for alignment-sharing members (e.g. EMA snapshots of one run)."""
+    import glob as _glob
+
+    if paths is None:
+        base = os.path.abspath(DEFAULT_WEIGHTS)
+        paths = [base] + sorted(
+            _glob.glob(os.path.join(os.path.dirname(base), "ocr_judge_m*.npz")))
+    return [load_judge(p) for p in paths]

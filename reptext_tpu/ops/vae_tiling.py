@@ -105,17 +105,26 @@ def tiled_apply(
     o_overlap = to_out(overlap)
     accum = np.zeros((b, oh, ow, out_channels), np.float32)
     weight = np.zeros((oh, ow, 1), np.float32)
+    # dispatch EVERY tile before fetching any: JAX async dispatch queues the
+    # device programs back-to-back, so tile i+1's host->device input
+    # transfer overlaps tile i's compute instead of serializing
+    # (upload, compute, download) per tile — the per-tile round-trip is the
+    # dominant tiled-pass cost through a remote-chip tunnel. Live device
+    # memory is bounded by the T output tiles (tiny for encode, ~3MB/tile
+    # fp32 for a 512px decode tile).
+    pending = []
     idx = 0
     for y in ys:
-        wy = blend_weights_1d(ot, o_overlap, to_out(y), oh)
         for xpos in xs:
-            wx = blend_weights_1d(ot, o_overlap, to_out(xpos), ow)
-            out = np.asarray(
-                tile_fn(x[:, y:y + tile, xpos:xpos + tile, :], idx), np.float32
-            )
+            pending.append((y, xpos,
+                            tile_fn(x[:, y:y + tile, xpos:xpos + tile, :], idx)))
             idx += 1
-            w2d = (wy[:, None] * wx[None, :])[:, :, None]
-            oy, ox = to_out(y), to_out(xpos)
-            accum[:, oy:oy + ot, ox:ox + ot, :] += out * w2d
-            weight[oy:oy + ot, ox:ox + ot, :] += w2d
+    for y, xpos, out_dev in pending:
+        out = np.asarray(out_dev, np.float32)
+        wy = blend_weights_1d(ot, o_overlap, to_out(y), oh)
+        wx = blend_weights_1d(ot, o_overlap, to_out(xpos), ow)
+        w2d = (wy[:, None] * wx[None, :])[:, :, None]
+        oy, ox = to_out(y), to_out(xpos)
+        accum[:, oy:oy + ot, ox:ox + ot, :] += out * w2d
+        weight[oy:oy + ot, ox:ox + ot, :] += w2d
     return accum / weight

@@ -224,6 +224,7 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         )
 
         sampler = self._get_inpaint_sampler(steps, tscale, custom_schedule)
+        self._drop_vae_device()   # sampling needs the margin back
         latents = sampler(
             self.params["flux"], self.params["controlnet"],
             self.params["inpaint_controlnet"], latents,
@@ -302,6 +303,7 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
             if self.flux.config.guidance_embeds else None
         )
         sampler = self._get_inpaint_sampler(steps, tscale)
+        self._drop_vae_device()   # sampling needs the margin back
         latents = sampler(
             self.params["flux"], self.params["controlnet"],
             self.params["inpaint_controlnet"], latents,

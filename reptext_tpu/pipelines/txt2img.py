@@ -94,6 +94,10 @@ class FluxRepTextPipeline:
     # keep the bounded-activation decode that lets the fp8 core stay
     # resident (see enable_vae_tiling)
     vae_tiling: Any = None
+    # uploaded-VAE cache holder for tiled passes — a SHARED mutable dict so
+    # with_resolution views reuse (and _drop_vae_device on any view frees)
+    # the single device copy (see _vae_device_params)
+    _vae_dev: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     # ---------------------------------------------------------------- build
 
@@ -255,7 +259,7 @@ class FluxRepTextPipeline:
 
     # ------------------------------------------------------------ vae tiling
 
-    def enable_vae_tiling(self, tile_latent: int = 64,
+    def enable_vae_tiling(self, tile_latent: int = 72,
                           overlap_latent: int = 16) -> "FluxRepTextPipeline":
         """Run VAE encode/decode in overlapping tiles (ops/vae_tiling.py).
 
@@ -265,6 +269,11 @@ class FluxRepTextPipeline:
         benchmarks/e2e_cli.json). `tile_latent`/`overlap_latent` are in
         latent units (x8 in pixels); inputs no larger than a tile take the
         untiled path unchanged. In place; returns self.
+
+        Default 72/16: a 1024^2 image (128^2 latents) maps to 2x2 clamped
+        tiles — vs 3x3 at tile 64, i.e. 30% less redundant overlap compute
+        and half the per-tile dispatch round-trips, at the same 16-latent
+        blend overlap (seam tolerance pinned in tests/test_vae_tiling.py).
         """
         if overlap_latent >= tile_latent:
             raise ValueError(
@@ -604,9 +613,10 @@ class FluxRepTextPipeline:
             [np.repeat(lc.position_mask[:, :, None], 3, axis=2) for lc in conditions.lines]
         )
         pos = jnp.asarray(preprocess_images(pos))
-        r1, r2 = jax.random.split(rng)
-        canny_lat = self._encode_scaled(canny, r1)          # [N, h, w, C] NHWC
-        pos_lat = self._encode_scaled(pos, r2)
+        # canny + pos ride ONE encode call stacked on the batch axis: same
+        # total conv work, half the (tiled) dispatch round-trips
+        both = self._encode_scaled(jnp.concatenate([canny, pos], axis=0), rng)
+        canny_lat, pos_lat = both[:n], both[n:]             # [N, h, w, C] NHWC
         cond = jnp.concatenate([canny_lat, pos_lat], axis=-1)
         cond_tokens = pack_latents(cond.transpose(0, 3, 1, 2))
 
@@ -807,6 +817,7 @@ class FluxRepTextPipeline:
         # this stage (cond encodes + glyph-latent init): encoders AND the
         # VAE leave HBM so the ~14GB core + program temps fit (the margin
         # is a few hundred MB at full geometry)
+        self._drop_vae_device()
         self._stage_core_params()
         if callback is None:
             if t_start == 0:
@@ -936,6 +947,7 @@ class FluxRepTextPipeline:
         elif ip_adapter_images is not None and any(
                 im is not None for im in ip_adapter_images):
             raise ValueError("ip_adapter_images given but no adapter attached")
+        self._drop_vae_device()   # sampling needs the margin back
         latents = sampler(
             self.params["flux"], self.params["controlnet"], latents,
             cond_tokens, token_masks, prompt_embeds, pooled_embeds,
@@ -954,17 +966,31 @@ class FluxRepTextPipeline:
     # ------------------------------------------------------------ internals
 
     def _vae_device_params(self):
-        """Device copy of the VAE tree for a multi-tile pass.
+        """Device copy of the VAE tree for tiled passes.
 
-        Sequential residency hosts the VAE during sampling; a tiled pass
-        uploads it ONCE (~160MB) and lets the copy die with the pass —
-        closing over host numpy params would re-upload per TILE. No-op when
-        the tree is already on device."""
+        Sequential residency hosts the VAE during sampling; tiled passes
+        share ONE uploaded copy (~160MB) until ``_drop_vae_device`` releases
+        it right before the next sampler call (the only phase that needs the
+        HBM back). Warm steady-state is ONE upload per image: the decode
+        pass's copy survives into the NEXT image's cond/glyph encodes —
+        closing over host numpy params instead would re-upload per TILE
+        (9 tiles/pass, 4 passes/image at 1024^2). No-op when the tree is
+        already on device."""
         params = self.params["vae"]
         leaves = jax.tree_util.tree_leaves(params)
         if leaves and isinstance(leaves[0], np.ndarray):
-            return jax.device_put(params)
+            cached = self._vae_dev.get("tree")
+            if cached is None or self._vae_dev.get("src") is not params:
+                cached = jax.device_put(params)
+                self._vae_dev.update(tree=cached, src=params)
+            return cached
         return params
+
+    def _drop_vae_device(self) -> None:
+        """Free the uploaded VAE copy (called before sampling: the resident
+        fp8 core + sampler temps need the margin the copy occupies)."""
+        self._vae_dev.pop("tree", None)
+        self._vae_dev.pop("src", None)
 
     def _encode_scaled(self, images_nhwc: jax.Array, rng: jax.Array) -> jax.Array:
         """VAE-encode and apply (x - shift) * scale (reference :715-726)."""
@@ -977,15 +1003,22 @@ class FluxRepTextPipeline:
 
             tile_px, overlap_px = f * tiling[0], f * tiling[1]
             params = self._vae_device_params()
+            host = np.asarray(images_nhwc, np.float32)
 
             def tile_fn(img_tile, idx):
                 return self._vae_encode(
                     params, jnp.asarray(img_tile), jax.random.fold_in(rng, idx))
 
-            lat = tiled_apply(
-                tile_fn, np.asarray(images_nhwc, np.float32),
-                tile_px, overlap_px, 1, f, vcfg.latent_channels)
-            lat = jnp.asarray(lat)
+            # chunk large stacked batches (multi-line conds ride one call,
+            # 2N images): per-tile activations scale with the batch and the
+            # HBM margin above the resident fp8 core is a few hundred MB
+            chunks = []
+            for s0 in range(0, host.shape[0], 4):
+                chunks.append(tiled_apply(
+                    tile_fn, host[s0:s0 + 4],
+                    tile_px, overlap_px, 1, f, vcfg.latent_channels))
+            lat = jnp.asarray(np.concatenate(chunks, axis=0)
+                              if len(chunks) > 1 else chunks[0])
         else:
             lat = self._vae_encode(self.params["vae"], images_nhwc, rng)
         return (lat - vcfg.shift_factor) * vcfg.scaling_factor
