@@ -91,13 +91,36 @@ def main(argv=None):
 
     # images 2..3: warm — core stays resident (vae_tiling), so per-image =
     # cond encodes + compiled sampler + tiled decode + PNG
+    # image 2 may pay a one-time OOM-probe retry (the pipeline tests whether
+    # the uploaded VAE fits alongside the resident core during sampling and
+    # remembers the answer); images 3-4 are the steady state.
     warm = []
-    for i, seed in enumerate((43, 44), start=2):
+    for i, seed in enumerate((43, 44, 45), start=2):
         t2 = time.time()
         img = pipe(conds, prompt_embeds=pe, pooled_embeds=pl, seed=seed)
         Image.fromarray(np.asarray(img[0])).save(f"/tmp/e2e_rehearsal{i}.png")
         warm.append(time.time() - t2)
         print(f"image {i} (warm per-image): {warm[-1]:.1f}s", flush=True)
+
+    # the RECOMMENDED deployment config: adaptive velocity caching at the
+    # trained-checkpoint-calibrated threshold (fidelity-gated, Δchar-acc 0
+    # in benchmarks/trained_gates.json). Shares the resident core; only the
+    # scan program differs (one extra compile on its image 1).
+    import dataclasses as _dc
+
+    vc_pipe = _dc.replace(pipe, pipe_cfg=_dc.replace(
+        pipe.pipe_cfg, velocity_cache_mode="adaptive",
+        velocity_cache_threshold=0.12, velocity_cache_max_skip=2,
+        velocity_cache_warmup=8))
+    warm_vc = []
+    for i, seed in enumerate((46, 47), start=1):
+        t2 = time.time()
+        img = vc_pipe(conds, prompt_embeds=pe, pooled_embeds=pl, seed=seed)
+        Image.fromarray(np.asarray(img[0])).save(f"/tmp/e2e_vc{i}.png")
+        dt = time.time() - t2
+        print(f"vc image {i}: {dt:.1f}s", flush=True)
+        if i > 1:
+            warm_vc.append(dt)      # vc image 1 pays the vc-scan compile
 
     result = {
         "config": f"{size}^2, {steps} steps, (19,38)+CN fp8w, random weights, "
@@ -107,11 +130,17 @@ def main(argv=None):
         "warm_seconds_per_image": round(min(warm), 1),
         "warm_seconds_all": [round(t, 1) for t in warm],
         "images_per_min_delivered": round(60.0 / min(warm), 2),
+        "warm_seconds_velocity_cached": round(min(warm_vc), 1) if warm_vc else None,
+        "images_per_min_velocity_cached": (
+            round(60.0 / min(warm_vc), 2) if warm_vc else None),
         "note": "core synthesized ONCE (image 1); warm images = cond VAE "
                 "encodes (tiled), the fused 30-step sampler, tiled VAE "
                 "decode, PNG write — no per-image core re-synthesis "
                 "(ops/vae_tiling.py); prompt encode measured separately "
-                "by bench.py (~65ms)",
+                "by bench.py (~65ms). velocity_cached rows = the adaptive "
+                "drift-triggered cache at the calibrated threshold 0.12 "
+                "(opt-in deployment config; uncached rows are the headline "
+                "protocol)",
     }
     Path(args.output).write_text(json.dumps(result, indent=1))
     print(json.dumps(result, indent=1))

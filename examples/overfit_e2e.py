@@ -392,6 +392,11 @@ def run_corpus_scaling(args) -> int:
         }
         curve.append(row)
         print(f"      {row}", flush=True)
+        # partial write per K: a late-K crash must not discard measured rows
+        Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.output).write_text(json.dumps(
+            {"protocol": "corpus scaling (PARTIAL — run in progress)",
+             "corpus_scaling": curve}, indent=1))
         if args.params_cache:
             save_dir = f"{args.params_cache}_k{k}"
             from reptext_tpu.io.checkpoint import save_pipeline_params

@@ -42,7 +42,7 @@ class _DoubleLayer(nn.Module):
     ip_adapter: bool = False
 
     @nn.compact
-    def __call__(self, carry, inject):
+    def __call__(self, carry, idx, raw):
         if self.ip_adapter:
             ctx, x, temb, cos, sin, ip_tokens, ip_scale = carry
         else:
@@ -63,9 +63,13 @@ class _DoubleLayer(nn.Module):
         # (after-block injection: `hidden_states = hidden_states +
         # controlnet_block_samples[index_block // interval]` in
         # FluxTransformer2DModel.forward, invoked at
-        # RepText/pipeline_flux_controlnet.py:1092-1104)
-        if inject is not None:
-            x = x + inject.astype(x.dtype)
+        # RepText/pipeline_flux_controlnet.py:1092-1104). ``raw`` is the
+        # UNSPREAD stack tuple (broadcast into the scan); ``idx`` the
+        # per-layer source indices — index-on-read instead of a
+        # materialized [num_layers, B, S, D] spread temp (see
+        # _spread_residuals note).
+        if raw is not None:
+            x = x + _read_inject(raw, idx).astype(x.dtype)
         if self.ip_adapter:
             return (ctx, x, temb, cos, sin, ip_tokens, ip_scale), None
         return (ctx, x, temb, cos, sin), None
@@ -79,7 +83,7 @@ class _SingleLayer(nn.Module):
     param_dtype: Dtype
 
     @nn.compact
-    def __call__(self, carry, inject):
+    def __call__(self, carry, idx, raw):
         x, temb, cos, sin = carry
         x = SingleTransformerBlock(
             dim=self.config.inner_dim,
@@ -93,9 +97,11 @@ class _SingleLayer(nn.Module):
             name="block",
         )(x, temb, cos, sin)
         # after-block injection into the image-token slice, matching
-        # diffusers' single-stream residual add (see _DoubleLayer note)
-        if inject is not None:
-            x = x.at[:, self.txt_len:, :].add(inject.astype(x.dtype))
+        # diffusers' single-stream residual add (see _DoubleLayer note);
+        # index-on-read from the unspread stack tuple
+        if raw is not None:
+            x = x.at[:, self.txt_len:, :].add(
+                _read_inject(raw, idx).astype(x.dtype))
         return (x, temb, cos, sin), None
 
 
@@ -105,6 +111,14 @@ def _spread_residuals(samples: jax.Array, num_layers: int) -> jax.Array:
     diffusers indexes residuals as ``samples[i // ceil(L/n)]`` when the
     ControlNet is shallower than the base model; reproduced here as a static
     gather so the scan sees one stacked array.
+
+    NOTE: the base model no longer materializes this gather — spreading a
+    10-layer CN single stack to 38 base slots is a 912MB HLO temp at 1024^2
+    that lives across the whole scan (measured: it tipped the full-geometry
+    velocity-cache program 8.4MB past HBM). The layer scans index the RAW
+    stack per layer instead (_inject_index + lax.dynamic_index_in_dim).
+    Kept for the multi-ControlNet combiner, whose summed output is
+    base-depth by construction.
     """
     n = samples.shape[0]
     if n == num_layers:
@@ -112,6 +126,33 @@ def _spread_residuals(samples: jax.Array, num_layers: int) -> jax.Array:
     interval = int(math.ceil(num_layers / n))
     idx = jnp.asarray([min(i // interval, n - 1) for i in range(num_layers)])
     return samples[idx]
+
+
+def _as_stack_tuple(samples) -> Optional[Tuple[jax.Array, ...]]:
+    """Residual stacks arg -> tuple of stacks (callers may pass one array or
+    a tuple/list of differently-deep stacks, e.g. dual-CN inpaint)."""
+    if samples is None:
+        return None
+    if isinstance(samples, (tuple, list)):
+        return tuple(samples)
+    return (samples,)
+
+
+def _inject_index(n: int, num_layers: int) -> jax.Array:
+    """Per-base-layer source index into an [n, ...] residual stack
+    (diffusers' ceil-interval mapping, as data instead of a gather)."""
+    interval = int(math.ceil(num_layers / n))
+    return jnp.asarray(
+        [min(i // interval, n - 1) for i in range(num_layers)], jnp.int32)
+
+
+def _read_inject(raw, idx):
+    """Sum the per-layer residual from each raw stack (index-on-read)."""
+    add = None
+    for j, stack in enumerate(raw):
+        r = jax.lax.dynamic_index_in_dim(stack, idx[j], 0, keepdims=False)
+        add = r if add is None else add + r
+    return add
 
 
 class FluxTransformer2D(nn.Module):
@@ -178,14 +219,13 @@ class FluxTransformer2D(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         cos, sin = rope_cos_sin_half(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
-        double_inject = None
-        if controlnet_block_samples is not None:
-            double_inject = _spread_residuals(controlnet_block_samples, cfg.num_layers)
-        single_inject = None
-        if controlnet_single_block_samples is not None:
-            single_inject = _spread_residuals(
-                controlnet_single_block_samples, cfg.num_single_layers
-            )
+        double_stacks = _as_stack_tuple(controlnet_block_samples)
+        double_idx = None if double_stacks is None else tuple(
+            _inject_index(s.shape[0], cfg.num_layers) for s in double_stacks)
+        single_stacks = _as_stack_tuple(controlnet_single_block_samples)
+        single_idx = None if single_stacks is None else tuple(
+            _inject_index(s.shape[0], cfg.num_single_layers)
+            for s in single_stacks)
 
         double_layer = nn.remat(_DoubleLayer, prevent_cse=False) if self.remat else _DoubleLayer
         if self.weight_quant:
@@ -197,7 +237,7 @@ class FluxTransformer2D(nn.Module):
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_layers,
-            in_axes=0,
+            in_axes=(0, nn.broadcast),   # (per-layer idx, unspread stacks)
             out_axes=0,
         )
         if self.ip_adapter:
@@ -215,7 +255,7 @@ class FluxTransformer2D(nn.Module):
             param_dtype=self.param_dtype,
             ip_adapter=self.ip_adapter,
             name="double_blocks",
-        )(double_carry, double_inject)
+        )(double_carry, double_idx, double_stacks)
         ctx, x = double_carry[0], double_carry[1]
 
         joint = jnp.concatenate([ctx, x], axis=1)
@@ -231,7 +271,7 @@ class FluxTransformer2D(nn.Module):
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=cfg.num_single_layers,
-            in_axes=0,
+            in_axes=(0, nn.broadcast),   # (per-layer idx, unspread stacks)
             out_axes=0,
         )
         (joint, _, _, _), _ = SingleScan(
@@ -241,7 +281,7 @@ class FluxTransformer2D(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="single_blocks",
-        )((joint, temb, cos, sin), single_inject)
+        )((joint, temb, cos, sin), single_idx, single_stacks)
 
         x = joint[:, txt_len:, :]
         x = AdaLayerNormContinuous(

@@ -224,7 +224,8 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
         )
 
         sampler = self._get_inpaint_sampler(steps, tscale, custom_schedule)
-        self._drop_vae_device()   # sampling needs the margin back
+        if self._core_params_deferred() or not self._vae_resident_ok():
+            self._drop_vae_device()   # core synthesis needs the full margin
         latents = sampler(
             self.params["flux"], self.params["controlnet"],
             self.params["inpaint_controlnet"], latents,
@@ -303,7 +304,8 @@ class FluxRepTextInpaintPipeline(FluxRepTextPipeline):
             if self.flux.config.guidance_embeds else None
         )
         sampler = self._get_inpaint_sampler(steps, tscale)
-        self._drop_vae_device()   # sampling needs the margin back
+        if self._core_params_deferred() or not self._vae_resident_ok():
+            self._drop_vae_device()   # core synthesis needs the full margin
         latents = sampler(
             self.params["flux"], self.params["controlnet"],
             self.params["inpaint_controlnet"], latents,

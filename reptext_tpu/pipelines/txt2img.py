@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -817,12 +818,51 @@ class FluxRepTextPipeline:
         # this stage (cond encodes + glyph-latent init): encoders AND the
         # VAE leave HBM so the ~14GB core + program temps fit (the margin
         # is a few hundred MB at full geometry)
-        self._drop_vae_device()
+        if self._core_params_deferred() or not self._vae_resident_ok():
+            # sampling needs the margin the uploaded-VAE copy occupies: the
+            # first call also synthesizes the core (multi-GB temps). Keeping
+            # the copy resident through sampling is OPT-IN
+            # (REPTEXT_VAE_RESIDENT=1, for chips with more HBM): at the
+            # measured full (19,38) fp8 geometry it OOMs, and a failed TPU
+            # execution does not reliably release its memory on this stack
+            # (retried device_puts still hit RESOURCE_EXHAUSTED after
+            # dropping the copy + gc — measured twice), so probing the
+            # margin at runtime costs more than the 1 upload/image it could
+            # save. The drop leaves warm cost at ONE upload/image (the
+            # decode's copy serves the next image's cond encodes).
+            self._drop_vae_device()
         self._stage_core_params()
         if callback is None:
             if t_start == 0:
-                latents = sampler(*margs, latents, *sargs,
-                                  flux_extra=flux_extra)
+                lat_in = latents
+                must_block = layout_matched and getattr(
+                    self, "_text_encoders_dropped", False)
+                oom = False
+                try:
+                    latents = sampler(*margs, lat_in, *sargs,
+                                      flux_extra=flux_extra)
+                    if must_block:
+                        latents = jax.block_until_ready(latents)
+                except jax.errors.JaxRuntimeError as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    oom = True
+                if oom:
+                    # retry OUTSIDE the except clause: the live exception's
+                    # traceback frames pin the failed attempt's buffers, so
+                    # gc inside the handler cannot actually free HBM. Free
+                    # the poisoned output + the uploaded-VAE copy, remember
+                    # the verdict, re-run from the ORIGINAL input latents.
+                    import gc as _gc
+
+                    latents = None
+                    self._drop_vae_device()
+                    self._vae_dev["resident_ok"] = False
+                    _gc.collect()
+                    latents = sampler(*margs, lat_in, *sargs,
+                                      flux_extra=flux_extra)
+                    if must_block:
+                        latents = jax.block_until_ready(latents)
             else:
                 latents = self._get_chunk_sampler(
                     steps, remaining, custom_schedule)(
@@ -947,20 +987,41 @@ class FluxRepTextPipeline:
         elif ip_adapter_images is not None and any(
                 im is not None for im in ip_adapter_images):
             raise ValueError("ip_adapter_images given but no adapter attached")
-        self._drop_vae_device()   # sampling needs the margin back
-        latents = sampler(
+        if self._core_params_deferred() or not self._vae_resident_ok():
+            self._drop_vae_device()   # core synthesis needs the full margin
+        sampler_args = (
             self.params["flux"], self.params["controlnet"], latents,
             cond_tokens, token_masks, prompt_embeds, pooled_embeds,
-            txt_ids, img_ids, guidance, flux_extra=flux_extra,
+            txt_ids, img_ids, guidance,
         )
+        serve_block = self.vae_tiling is not None and getattr(
+            self, "_force_layout_matched", False)
+        oom = False
+        try:
+            latents = sampler(*sampler_args, flux_extra=flux_extra)
+            if serve_block:
+                # fp8-resident serving: let the sampler's multi-GB temps
+                # retire before the (tile-bounded) decode allocates — the
+                # HBM margin above the resident core is a few hundred MB
+                latents = jax.block_until_ready(latents)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            oom = True
+        if oom:
+            # see __call__: retry outside the except so the exception's
+            # traceback no longer pins the failed attempt's buffers
+            import gc as _gc
+
+            latents = None
+            self._drop_vae_device()
+            self._vae_dev["resident_ok"] = False
+            _gc.collect()
+            latents = sampler(*sampler_args, flux_extra=flux_extra)
+            if serve_block:
+                latents = jax.block_until_ready(latents)
         if output_type == "latent":
             return latents
-        if self.vae_tiling is not None and getattr(
-                self, "_force_layout_matched", False):
-            # fp8-resident serving: let the sampler's multi-GB temps retire
-            # before the (tile-bounded) decode allocates — the HBM margin
-            # above the resident core is a few hundred MB
-            latents = jax.block_until_ready(latents)
         return postprocess_images(self._decode(latents))
 
     # ------------------------------------------------------------ internals
@@ -991,6 +1052,13 @@ class FluxRepTextPipeline:
         fp8 core + sampler temps need the margin the copy occupies)."""
         self._vae_dev.pop("tree", None)
         self._vae_dev.pop("src", None)
+
+    def _vae_resident_ok(self) -> bool:
+        """Whether to keep the uploaded VAE copy through sampling (opt-in,
+        REPTEXT_VAE_RESIDENT=1); auto-falsified by an OOM retry."""
+        if not self._vae_dev.get("resident_ok", True):
+            return False
+        return os.environ.get("REPTEXT_VAE_RESIDENT", "0") == "1"
 
     def _encode_scaled(self, images_nhwc: jax.Array, rng: jax.Array) -> jax.Array:
         """VAE-encode and apply (x - shift) * scale (reference :715-726)."""

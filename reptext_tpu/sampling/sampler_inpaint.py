@@ -51,7 +51,6 @@ def make_inpaint_sampler(
     is exactly equivalent to the reference when depths match and well-defined
     when they don't (the reference's list-zip silently truncates).
     """
-    from reptext_tpu.models.flux import _spread_residuals
     sigmas = jnp.asarray(schedule.sigmas, jnp.float32)
     timesteps = jnp.asarray(schedule.timesteps, jnp.float32)
     num_steps = schedule.num_steps
@@ -158,17 +157,13 @@ def make_inpaint_sampler(
                     inpaint_params, x2, cond_inp, ctx, pooled, t2,
                     img_ids, txt_ids, guidance2, inpaint_conditioning_scale,
                 )
-                # spread both stacks onto base injection slots, then sum
-                # (reference :1229-1248 sums the two residual lists)
-                block_all = (
-                    _spread_residuals(block_res, base_num_layers)
-                    + _spread_residuals(blk_i.astype(compute_dtype), base_num_layers)
-                )
-                single_all = (
-                    _spread_residuals(single_res, base_num_single_layers)
-                    + _spread_residuals(sgl_i.astype(compute_dtype),
-                                        base_num_single_layers)
-                )
+                # BOTH raw stacks ride into the base model as a tuple; the
+                # layer scan indexes each per layer and sums — semantically
+                # the reference's spread+sum (:1229-1248) without
+                # materializing two [L_base, 2B, S, D] spread temps across
+                # the whole scan (~1.4GB at the inpaint op-point)
+                block_all = (block_res, blk_i.astype(compute_dtype))
+                single_all = (single_res, sgl_i.astype(compute_dtype))
 
                 velocity2 = flux_apply(
                     flux_params, x2, ctx, pooled, t2, img_ids, txt_ids,
