@@ -303,21 +303,27 @@ class FluxRepTextPipeline:
                 if self.params.get(k) is not None:
                     self.params[k] = None
             self._text_encoders_dropped = True
-            if self.params.get("vae") is not None:
-                # VAE params ride out the sampling stage on the host either
-                # way: the HBM margin above the resident core is smaller
-                # than the VAE tree (keeping it resident measured OOM inside
-                # the full-geometry sampler). Untiled decode re-uploads via
-                # numpy jit args; tiled passes re-upload ONCE per pass
-                # (_vae_device_params) — the CORE stays resident, which is
-                # the 52 s/image round-4 cost this kills.
-                self.params["vae"] = jax.device_get(self.params["vae"])
+        if (self.params.get("vae") is not None
+                and (drop_text_encoders or self.vae_tiling is not None)
+                and not isinstance(jax.tree_util.tree_leaves(
+                    self.params["vae"])[0], np.ndarray)):
+            # VAE params ride out the sampling stage on the host either
+            # way: the HBM margin above the resident core is smaller than
+            # the VAE tree (keeping it resident measured OOM inside the
+            # full-geometry sampler — serving with kept encoders included).
+            # Untiled decode re-uploads via numpy jit args; tiled passes
+            # re-upload ONCE per pass (_vae_device_params) — the CORE stays
+            # resident, which is the 52 s/image round-4 cost this kills.
+            self.params["vae"] = jax.device_get(self.params["vae"])
         gc.collect()
-        if getattr(self, "_text_encoders_dropped", False):
+        if (getattr(self, "_text_encoders_dropped", False)
+                or getattr(self, "_force_layout_matched", False)):
             # layout-matched path: leave the sentinels — the sampler wrapper
             # synthesizes DIRECTLY into the compiler-chosen layouts
             # (out_shardings), since a post-hoc relayout of the ~14GB tree
-            # needs transient double-residency that measured OOM
+            # needs transient double-residency that measured OOM.
+            # _force_layout_matched (fp8 serving with reduced encoders
+            # kept resident) takes the same lazy path.
             return
         for name in ("flux", "controlnet"):
             spec = self.params[name]
@@ -831,7 +837,12 @@ class FluxRepTextPipeline:
             # save. The drop leaves warm cost at ONE upload/image (the
             # decode's copy serves the next image's cond encodes).
             self._drop_vae_device()
-        self._stage_core_params()
+        # fp8 serving (_force_layout_matched) keeps its reduced encoders
+        # resident — requests encode per-call (serving.py); everything else
+        # evicts them for the core's margin
+        self._stage_core_params(
+            drop_text_encoders=not getattr(self, "_force_layout_matched",
+                                           False))
         if callback is None:
             if t_start == 0:
                 lat_in = latents
@@ -909,14 +920,16 @@ class FluxRepTextPipeline:
     def generate_batch(
         self,
         conditions_list,
-        clip_ids: jax.Array,            # [B, 77]
-        t5_ids: jax.Array,              # [B, S_txt]
-        seeds,
+        clip_ids: Optional[jax.Array] = None,   # [B, 77]
+        t5_ids: Optional[jax.Array] = None,     # [B, S_txt]
+        seeds=None,
         guidance_scale: Optional[float] = None,
         num_inference_steps: Optional[int] = None,
         output_type: str = "np",
         ip_adapter_images=None,   # per-request images (None entries allowed)
         ip_adapter_scales=None,   # per-request floats
+        prompt_embeds: Optional[jax.Array] = None,  # [B, S_txt, D] pre-encoded
+        pooled_embeds: Optional[jax.Array] = None,  # [B, D_pooled]
     ) -> np.ndarray:
         """Generate one image per request in a single fused sampler call.
 
@@ -932,13 +945,21 @@ class FluxRepTextPipeline:
         n_lines = {c.num_lines for c in conditions_list}
         if len(n_lines) != 1:
             raise ValueError(f"batch requests must share num_lines, got {n_lines}")
-        if not (len(conditions_list) == len(seeds) == clip_ids.shape[0]
-                == t5_ids.shape[0]):
-            raise ValueError("conditions_list, seeds, clip_ids, t5_ids lengths differ")
+        pre_encoded = prompt_embeds is not None
+        lead_dim = (prompt_embeds if pre_encoded else clip_ids).shape[0]
+        if not (len(conditions_list) == len(seeds) == lead_dim
+                == (pooled_embeds if pre_encoded else t5_ids).shape[0]):
+            raise ValueError(
+                "conditions_list, seeds, and prompt inputs lengths differ")
         steps = num_inference_steps or cfg.num_inference_steps
         gscale = guidance_scale if guidance_scale is not None else cfg.guidance_scale
 
-        prompt_embeds, pooled_embeds = self.encode_prompt(clip_ids, t5_ids)
+        if not pre_encoded:
+            # generate-tier serving passes pre-encoded embeds instead (the
+            # fp8 core and the text encoders cannot co-reside on one 16GB
+            # chip — encode before sequential residency, or on another
+            # host/chip; see serving.GenerationRequest.prompt_embeds)
+            prompt_embeds, pooled_embeds = self.encode_prompt(clip_ids, t5_ids)
 
         cond_l, mask_l, lat_l = [], [], []
         for conds, seed in zip(conditions_list, seeds):

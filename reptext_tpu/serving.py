@@ -52,6 +52,14 @@ class GenerationRequest:
     negative_prompt: Optional[str] = None  # inpaint true-CFG negative
     ip_image_b64: Optional[str] = None     # image-prompt (IP-Adapter) PNG
     ip_scale: float = 1.0
+    # pre-encoded prompt (generate-tier serving): on a single 16GB chip the
+    # fp8 full-geometry core cannot co-reside with text encoders (measured
+    # OOM), so production splits the encode tier (CLIP/T5 on host, another
+    # chip, or this chip BEFORE sequential residency evicts them — e2e_cli
+    # order) from the generate tier. [S_txt, D] / [D] numpy arrays; both
+    # must be set together and the whole batch must carry them.
+    prompt_embeds: Optional[np.ndarray] = None
+    pooled_embeds: Optional[np.ndarray] = None
     _done: threading.Event = field(default_factory=threading.Event)
     _result: Optional[np.ndarray] = None
     _error: Optional[str] = None
@@ -97,14 +105,17 @@ class GenerationWorker:
         self._thread.start()
         return self
 
-    def warmup(self, text: str = "Hi", position=(16, 16)) -> float:
+    def warmup(self, text: str = "Hi", position=(16, 16),
+               prompt_embeds=None, pooled_embeds=None) -> float:
         """Compile all generation graphs with a dummy request; returns seconds.
 
         Call before accepting traffic so the first real request doesn't pay
-        multi-minute XLA compiles.
+        multi-minute XLA compiles. Generate-tier deployments (evicted
+        encoders) pass pre-encoded ``prompt_embeds``/``pooled_embeds``.
         """
         req = GenerationRequest(
-            prompt="warmup", lines=[{"text": text, "position": list(position)}]
+            prompt="warmup", lines=[{"text": text, "position": list(position)}],
+            prompt_embeds=prompt_embeds, pooled_embeds=pooled_embeds,
         )
         t0 = time.time()
         self.submit(req)
@@ -126,8 +137,13 @@ class GenerationWorker:
 
     @staticmethod
     def _signature(req: GenerationRequest):
+        # pre-encoded and prompt-string requests never coalesce (mixing
+        # would tokenize the embed-carriers' placeholder prompt); the embed
+        # sequence length is part of the compiled graph shape
+        pe_shape = (None if req.prompt_embeds is None
+                    else tuple(np.asarray(req.prompt_embeds).shape))
         return (req.mode, req.num_steps, req.guidance_scale, len(req.lines),
-                req.width, req.height)
+                req.width, req.height, pe_shape)
 
     @staticmethod
     def _res_key(req: GenerationRequest):
@@ -210,7 +226,8 @@ class GenerationWorker:
 
         pipe = self._pipeline_for(batch[0])  # resolution is in the signature
         cfg = pipe.pipe_cfg
-        conds_list, clip_l, t5_l = [], [], []
+        pre_encoded = all(r.prompt_embeds is not None for r in batch)
+        conds_list, clip_l, t5_l, pe_l, pl_l = [], [], [], [], []
         for req in batch:
             lines = [
                 TextLine(
@@ -221,17 +238,24 @@ class GenerationWorker:
                 for l in req.lines
             ]
             conds_list.append(build_conditions(lines, cfg.width, cfg.height))
-            cids, tids = self._tokenize(req.prompt)
-            clip_l.append(np.asarray(cids)[0])
-            t5_l.append(np.asarray(tids)[0])
+            if pre_encoded:
+                pe_l.append(np.asarray(req.prompt_embeds))
+                pl_l.append(np.asarray(req.pooled_embeds))
+            else:
+                cids, tids = self._tokenize(req.prompt)
+                clip_l.append(np.asarray(cids)[0])
+                t5_l.append(np.asarray(tids)[0])
 
-        # Pad t5 ids to the longest in the batch (pad id 0 == T5 <pad>).
-        t5_len = max(t.shape[0] for t in t5_l)
-        t5_ids = np.zeros((len(batch), t5_len), np.int32)
-        for i, t in enumerate(t5_l):
-            t5_ids[i, : t.shape[0]] = t
-        clip_ids = jnp.asarray(np.stack(clip_l))
-        t5_ids = jnp.asarray(t5_ids)
+        if pre_encoded:
+            clip_ids = t5_ids = None
+        else:
+            # Pad t5 ids to the longest in the batch (pad id 0 == T5 <pad>).
+            t5_len = max(t.shape[0] for t in t5_l)
+            t5_np = np.zeros((len(batch), t5_len), np.int32)
+            for i, t in enumerate(t5_l):
+                t5_np[i, : t.shape[0]] = t
+            clip_ids = jnp.asarray(np.stack(clip_l))
+            t5_ids = jnp.asarray(t5_np)
 
         # Pad the batch to a power-of-two bucket (repeat the last request)
         # so XLA compiles one graph per bucket, not per batch size.
@@ -240,9 +264,21 @@ class GenerationWorker:
         pad = bucket - n
         if pad:
             conds_list = conds_list + [conds_list[-1]] * pad
-            clip_ids = jnp.concatenate([clip_ids, jnp.tile(clip_ids[-1:], (pad, 1))])
-            t5_ids = jnp.concatenate([t5_ids, jnp.tile(t5_ids[-1:], (pad, 1))])
+            if pre_encoded:
+                pe_l += [pe_l[-1]] * pad
+                pl_l += [pl_l[-1]] * pad
+            else:
+                clip_ids = jnp.concatenate(
+                    [clip_ids, jnp.tile(clip_ids[-1:], (pad, 1))])
+                t5_ids = jnp.concatenate(
+                    [t5_ids, jnp.tile(t5_ids[-1:], (pad, 1))])
         seeds = [r.seed for r in batch] + [batch[-1].seed] * pad
+        embed_kwargs = {}
+        if pre_encoded:
+            embed_kwargs = {
+                "prompt_embeds": jnp.asarray(np.stack(pe_l)),
+                "pooled_embeds": jnp.asarray(np.stack(pl_l)),
+            }
 
         lead = batch[0]
         ip_kwargs = {}
@@ -260,7 +296,7 @@ class GenerationWorker:
             conds_list, clip_ids=clip_ids, t5_ids=t5_ids, seeds=seeds,
             num_inference_steps=lead.num_steps,
             guidance_scale=lead.guidance_scale,
-            **ip_kwargs,
+            **embed_kwargs, **ip_kwargs,
         )
         for i, req in enumerate(batch):
             req._result = np.asarray(images[i])
