@@ -197,19 +197,27 @@ def main(argv=None):
     STEPS = steps
     pipe, size, embeds = build_pipeline(args.tiny, full_fp8=args.full_fp8, steps=steps)
     rows = []
-    batches = (1, 2) if args.full_fp8 else (1, 4)
+    # full-fp8: SERIAL only — coalescing measured throughput-NEGATIVE for
+    # this compute-bound model (round 2, ROADMAP #4: a batch-4 call costs
+    # ~4x a batch-1 call plus queueing), and the coalesced bucket would need
+    # a per-bucket layout-matched compile the fp8 wrapper keys one program
+    # signature for. --max-batch 1 is the documented throughput- and
+    # latency-optimal single-chip setting.
+    batches = (1,) if args.full_fp8 else (1, 4)
     burst = args.burst if not args.full_fp8 else min(args.burst, 4)
     for max_batch in batches:
         row = run_burst(pipe, size, max_batch, burst, embeds=embeds)
         rows.append(row)
         print(json.dumps(row), flush=True)
-    speedup = rows[0]["wall_s"] / rows[1]["wall_s"]
     summary = {
-        "metric": f"serving burst coalescing speedup ({size}^2, {steps} steps, "
-                  + ("FULL-depth fp8w" if args.full_fp8 else "reduced depth"),
-        "coalescing_speedup": round(speedup, 3),
+        "metric": f"serving burst ({size}^2, {steps} steps, "
+                  + ("FULL-depth fp8w generate-tier" if args.full_fp8
+                     else "reduced depth"),
         "rows": rows,
     }
+    if len(rows) > 1:
+        summary["coalescing_speedup"] = round(
+            rows[0]["wall_s"] / rows[1]["wall_s"], 3)
     print(json.dumps({k: v for k, v in summary.items() if k != "rows"}))
     if args.output:
         Path(args.output).write_text(json.dumps(summary, indent=1))

@@ -493,12 +493,24 @@ class GenerationWorker:
                     for l in req.lines
                 ]
                 conds = build_conditions(lines, cfg.width, cfg.height)
-                clip_ids, t5_ids = self._tokenize(req.prompt)
+                if req.prompt_embeds is not None:
+                    # generate-tier request: pre-encoded prompt (see
+                    # GenerationRequest.prompt_embeds)
+                    import jax.numpy as jnp
+
+                    prompt_kwargs = {
+                        "prompt_embeds": jnp.asarray(req.prompt_embeds)[None],
+                        "pooled_embeds": jnp.asarray(req.pooled_embeds)[None],
+                    }
+                else:
+                    clip_ids, t5_ids = self._tokenize(req.prompt)
+                    prompt_kwargs = {"clip_ids": clip_ids, "t5_ids": t5_ids}
                 ip_img = self._decode_ip_image(req)
                 images = pipe(
-                    conds, clip_ids=clip_ids, t5_ids=t5_ids, seed=req.seed,
+                    conds, seed=req.seed,
                     num_inference_steps=req.num_steps,
                     guidance_scale=req.guidance_scale,
+                    **prompt_kwargs,
                     **({"ip_adapter_image": ip_img,
                         "ip_adapter_scale": req.ip_scale}
                        if ip_img is not None else {}),
